@@ -1,0 +1,191 @@
+"""Bit-packed Bloom filters in device HBM.
+
+TPU-native replacement for btllib's KmerBloomFilter and the cascading
+common-k-mer builder (/root/reference/src/ntsynt_make_common_bf.cpp:121-160)
+and the repeat-BF builder (/root/reference/bin/ntsynt_make_repeat_bfs.py:56-67).
+
+Design:
+  * one hash function (like the reference, HASH_FNS=1): the key is the
+    *canonical* (pre-mix) ntHash value; the bit index is ``key mod m``.
+  * ``m`` (number of bits) is rounded to the nearest power of two so the
+    modulo is a bit-mask — exact 64-bit modulo by an arbitrary m is
+    wasteful with uint32 pairs. The reference sizes m as
+    ceil(-G/ln(1-fpr)) (src/ntsynt_make_common_bf.cpp:38); we round that
+    to pow2, which shifts the effective FPR by at most sqrt(2)x. m can be
+    up to 2^36 bits (8 GiB) with int32 word addressing.
+  * storage is a bit-packed uint32 word array. Insertion has no native
+    scatter-OR on XLA, so we sort bit positions by word index, combine
+    each run's masks with a log-step segmented OR, and scatter one
+    combined mask per unique word (gather-OR-set with unique indices —
+    deterministic).
+
+The same word-array layout is what the multi-chip path all-reduces with
+a bitwise-OR butterfly (see parallel/mesh.py).
+"""
+
+import functools
+import json
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def reference_bf_bits(genome_size: int, fpr: float) -> int:
+    """Bit count the reference would use: ceil(-G / ln(1-fpr))
+    (src/ntsynt_make_common_bf.cpp:28-40, one hash function)."""
+    return int(math.ceil(-genome_size / math.log(1.0 - fpr)))
+
+
+def pow2_bits(requested_bits: int) -> int:
+    """Round a bit count to the nearest power of two in [2^16, 2^36]."""
+    requested_bits = max(requested_bits, 1 << 16)
+    lg = math.log2(requested_bits)
+    b = int(round(lg))
+    b = min(max(b, 16), 36)
+    return 1 << b
+
+
+class DeviceBloomFilter:
+    """A 1-hash bit-packed Bloom filter living on device."""
+
+    def __init__(self, num_bits: int, k: int, words=None):
+        assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
+        assert 1 << 16 <= num_bits <= 1 << 36
+        self.num_bits = num_bits
+        self.k = k
+        self.n_words = num_bits // 32
+        if words is None:
+            self.words = jnp.zeros(self.n_words, dtype=jnp.uint32)
+        else:
+            assert words.shape == (self.n_words,)
+            self.words = words
+
+    # -- geometry ----------------------------------------------------------
+    @property
+    def bits_log2(self) -> int:
+        return self.num_bits.bit_length() - 1
+
+    def popcount(self) -> int:
+        """Number of set bits (for FPR reporting, cf. btllib get_fpr)."""
+        w = np.asarray(self.words)
+        return int(np.unpackbits(w.view(np.uint8)).sum())
+
+    def fpr(self) -> float:
+        """Occupancy = FPR for a 1-hash BF."""
+        return self.popcount() / self.num_bits
+
+    # -- device ops --------------------------------------------------------
+    def insert(self, canon_hi, canon_lo, valid=None):
+        """Insert a batch of canonical hashes (uint32 pair arrays)."""
+        if valid is None:
+            valid = jnp.ones(canon_hi.shape, dtype=bool)
+        self.words = _insert_kernel(self.bits_log2)(self.words, canon_hi, canon_lo, valid)
+
+    def probe(self, canon_hi, canon_lo):
+        """Membership test for a batch of canonical hashes -> bool array."""
+        return bf_probe(self.words, canon_hi, canon_lo, self.bits_log2)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> str:
+        """Save as a small JSON header + raw little-endian uint32 words.
+
+        Note: this is ntsynt_tpu's own container, not btllib's .bf layout
+        (the btllib serialization is not reproduced here); the semantic
+        content (bit array, k, hash count=1) is equivalent.
+        """
+        header = dict(
+            magic="ntsynt_tpu_bf1",
+            num_bits=self.num_bits,
+            k=self.k,
+            hash_fns=1,
+        )
+        with open(path, "wb") as fout:
+            hdr = json.dumps(header).encode() + b"\n"
+            fout.write(len(hdr).to_bytes(8, "little"))
+            fout.write(hdr)
+            fout.write(np.asarray(self.words).astype("<u4").tobytes())
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "DeviceBloomFilter":
+        with open(path, "rb") as fin:
+            hlen = int.from_bytes(fin.read(8), "little")
+            header = json.loads(fin.read(hlen).decode())
+            assert header["magic"] == "ntsynt_tpu_bf1", "not an ntsynt_tpu Bloom filter"
+            words = np.frombuffer(fin.read(), dtype="<u4").astype(np.uint32)
+        bf = cls(header["num_bits"], header["k"], words=jnp.asarray(words))
+        return bf
+
+
+def _bit_index(canon_hi, canon_lo, bits_log2: int):
+    """(word_idx int32, bit_mask uint32) for bit position canon mod 2^bits_log2."""
+    if bits_log2 <= 32:
+        bit_lo = canon_lo & jnp.uint32((1 << bits_log2) - 1) if bits_log2 < 32 else canon_lo
+        word = (bit_lo >> 5).astype(jnp.int32)
+    else:
+        hi_part = canon_hi & jnp.uint32((1 << (bits_log2 - 32)) - 1)
+        word = ((hi_part << 27) | (canon_lo >> 5)).astype(jnp.int32)
+    mask = jnp.uint32(1) << (canon_lo & jnp.uint32(31))
+    return word, mask
+
+
+@functools.lru_cache(maxsize=None)
+def _insert_kernel(bits_log2: int):
+    n_words = (1 << bits_log2) // 32
+
+    @jax.jit
+    def insert(words, canon_hi, canon_lo, valid):
+        word, mask = _bit_index(canon_hi, canon_lo, bits_log2)
+        # route invalid entries to the dummy slot past the end
+        word = jnp.where(valid, word, jnp.int32(n_words))
+        mask = jnp.where(valid, mask, jnp.uint32(0))
+        word, mask = jax.lax.sort((word, mask), num_keys=1)
+        # segmented OR within runs of equal word index (log-step doubling)
+        n = word.shape[0]
+        shift = 1
+        while shift < n:
+            prev_w = jnp.concatenate([jnp.full(shift, -1, jnp.int32), word[:-shift]])
+            prev_m = jnp.concatenate([jnp.zeros(shift, jnp.uint32), mask[:-shift]])
+            mask = mask | jnp.where(word == prev_w, prev_m, jnp.uint32(0))
+            shift <<= 1
+        # last element of each run carries the full OR
+        nxt = jnp.concatenate([word[1:], jnp.full(1, -2, jnp.int32)])
+        run_end = word != nxt
+        scatter_idx = jnp.where(run_end, word, jnp.int32(n_words))
+        ext = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
+        merged = ext[scatter_idx] | mask
+        ext = ext.at[scatter_idx].set(jnp.where(run_end, merged, jnp.uint32(0)), mode="drop")
+        return ext[:-1]
+
+    return insert
+
+
+def bf_probe(words, canon_hi, canon_lo, bits_log2: int):
+    """Gather-based membership test (jit-safe, usable inside other kernels)."""
+    word, mask = _bit_index(canon_hi, canon_lo, bits_log2)
+    return (words[word] & mask) != 0
+
+
+# ---------------------------------------------------------------------------
+# NumPy mirror (host-side oracle for tests)
+# ---------------------------------------------------------------------------
+
+
+class NumpyBloomFilter:
+    def __init__(self, num_bits: int, k: int):
+        assert num_bits & (num_bits - 1) == 0
+        self.num_bits = num_bits
+        self.k = k
+        self.bits = np.zeros(num_bits, dtype=bool)
+
+    def insert(self, canon: np.ndarray, valid=None):
+        canon = np.asarray(canon, dtype=np.uint64)
+        if valid is not None:
+            canon = canon[np.asarray(valid)]
+        self.bits[(canon & np.uint64(self.num_bits - 1)).astype(np.int64)] = True
+
+    def probe(self, canon: np.ndarray) -> np.ndarray:
+        canon = np.asarray(canon, dtype=np.uint64)
+        return self.bits[(canon & np.uint64(self.num_bits - 1)).astype(np.int64)]

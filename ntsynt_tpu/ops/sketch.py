@@ -1,0 +1,286 @@
+"""Minimizer sketching of whole genomes on TPU (indexlr replacement).
+
+This is the pipeline's #1 hot kernel (see /root/repo/SURVEY.md §2.2 item 2
+and BASELINE.json's Gbp/s/chip metric). It replaces the btllib ``indexlr``
+binary (flags ``-k -w --long --seq --pos [-s common.bf] [-r repeat.bf]``,
+bin/ntsynt_run_pipeline.smk:85) and the per-refinement-round re-invocation
+(ntjoin_utils.run_indexlr, bin/ntsynt_synteny.py:173-182) with an
+in-memory, device-resident computation:
+
+  1. All contigs of a genome are concatenated into one code *stream* with
+     (w+k) N-code separators, so k-mers and windows can never straddle a
+     contig boundary; a host-side "legit window" interval set marks the
+     windows that exist in per-contig semantics.
+  2. Fixed-size chunks of the stream are hashed (ops/nthash.hash_tile)
+     and swept with the two-pass sliding argmin (ops/winmin) under jit —
+     one compiled executable per (k, w, chunk, filters) regardless of
+     contig count or genome size.
+  3. Optional common-BF ("solid", -s) and repeat-BF (-r) filters are
+     fused into validity before window selection, exactly where indexlr
+     applies them.
+  4. Selected stream positions are deduped and mapped back to
+     (contig, position); output hash values are the printed/ordering
+     ntHash values, positions are 0-based k-mer starts.
+
+Contigs with fewer than w+k-1 bases get a host-side fallback pass (one
+window over all their k-mers) so short contigs are not dropped.
+"""
+
+from dataclasses import dataclass
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bloom, nthash, winmin
+from ..utils import log
+
+DEFAULT_CHUNK = 1 << 20  # windows per device invocation
+
+
+@dataclass
+class GenomeSketch:
+    """Minimizer sketch of one genome."""
+
+    name: str  # assembly key (genome file basename)
+    k: int
+    w: int
+    contig_names: list
+    # per-minimizer flat arrays, ordered by (contig, position):
+    contig_idx: np.ndarray  # int32 [m]
+    positions: np.ndarray  # int64 [m] 0-based k-mer starts
+    hashes: np.ndarray  # uint64 [m] printed/ordering hash
+    canon: np.ndarray  # uint64 [m] canonical hash (BF key)
+
+    @property
+    def n_minimizers(self) -> int:
+        return len(self.positions)
+
+    def per_contig(self):
+        """Yield (contig_name, hashes, positions) per contig in order."""
+        for ci, name in enumerate(self.contig_names):
+            m = self.contig_idx == ci
+            yield name, self.hashes[m], self.positions[m]
+
+
+class _Stream:
+    """A genome's contigs packed into one code stream with separators."""
+
+    def __init__(self, genome, k: int, w: int, codes: np.ndarray | None = None):
+        self.genome = genome
+        self.k, self.w = k, w
+        sep = w + k  # windows can never span two contigs
+        codes = genome.codes if codes is None else codes
+        parts, starts = [], []
+        pos = 0
+        for i in range(genome.n_contigs):
+            o, ln = int(genome.offsets[i]), int(genome.lengths[i])
+            starts.append(pos)
+            parts.append(codes[o : o + ln])
+            pos += ln
+            parts.append(np.full(sep, 4, dtype=np.uint8))
+            pos += sep
+        self.codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.total = pos
+
+    def legit_windows(self) -> np.ndarray:
+        """bool [n_windows_stream]: windows fully inside one contig."""
+        k, w = self.k, self.w
+        nwin = max(self.total - (w + k - 1) + 1, 0)
+        legit = np.zeros(nwin, dtype=bool)
+        for i in range(len(self.starts)):
+            ln = int(self.genome.lengths[i])
+            nk = ln - k + 1
+            if nk >= w:
+                s = int(self.starts[i])
+                legit[s : s + nk - w + 1] = True
+        return legit
+
+    def short_contigs(self):
+        """Indices of contigs with at least one k-mer but fewer than w."""
+        k, w = self.k, self.w
+        return [
+            i
+            for i in range(self.genome.n_contigs)
+            if 1 <= int(self.genome.lengths[i]) - k + 1 < w
+        ]
+
+    def to_contig_pos(self, stream_pos: np.ndarray):
+        idx = np.searchsorted(self.starts, stream_pos, side="right") - 1
+        return idx.astype(np.int32), stream_pos - self.starts[idx]
+
+
+@functools.lru_cache(maxsize=None)
+def _sketch_chunk_fn(k: int, w: int, chunk: int, n_common_log2, n_repeat_log2):
+    """Compiled chunk kernel: codes tile -> per-window (argmin, valid)."""
+    nk = chunk + w - 1  # k-mers needed
+    nc = nk + k - 1  # codes needed
+
+    @jax.jit
+    def run(codes_tile, common_words, repeat_words):
+        assert codes_tile.shape == (nc,)
+        h = nthash.hash_tile(codes_tile, k)
+        valid = h["valid"]
+        if n_common_log2 is not None:
+            valid = valid & bloom.bf_probe(
+                common_words, h["canon_hi"], h["canon_lo"], n_common_log2
+            )
+        if n_repeat_log2 is not None:
+            valid = valid & ~bloom.bf_probe(
+                repeat_words, h["canon_hi"], h["canon_lo"], n_repeat_log2
+            )
+        key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
+        key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
+        arg = winmin.sliding_argmin(key_hi, key_lo, w)
+        win_valid = valid[arg]
+        return arg.astype(jnp.int32), win_valid
+
+    return run
+
+
+def sketch_genome(
+    genome,
+    k: int,
+    w: int,
+    common_bf=None,
+    repeat_bf=None,
+    chunk: int = DEFAULT_CHUNK,
+    codes: np.ndarray | None = None,
+) -> GenomeSketch:
+    """Compute the (k, w) minimizer sketch of a genome.
+
+    Args:
+      genome: io.fasta.PackedGenome.
+      k, w: sketching parameters.
+      common_bf: optional DeviceBloomFilter; keep only minimizers whose
+        k-mer is in it (indexlr -s semantics).
+      repeat_bf: optional DeviceBloomFilter; drop k-mers in it (-r).
+      chunk: windows per device call (static shape).
+      codes: optional override of genome.codes (used by refinement
+        rounds to sketch a masked copy without duplicating the genome).
+    """
+    stream = _Stream(genome, k, w, codes=codes)
+    legit = stream.legit_windows()
+    nwin = len(legit)
+    sel_stream = []
+
+    cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
+    rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
+    fn = _sketch_chunk_fn(
+        k,
+        w,
+        chunk,
+        None if common_bf is None else common_bf.bits_log2,
+        None if repeat_bf is None else repeat_bf.bits_log2,
+    )
+
+    nc_need = chunk + w - 1 + k - 1
+    for ws in range(0, max(nwin, 0), chunk):
+        tile = stream.codes[ws : ws + nc_need]
+        if len(tile) < nc_need:
+            tile = np.concatenate([tile, np.full(nc_need - len(tile), 4, np.uint8)])
+        arg, win_valid = fn(jnp.asarray(tile), cw, rw)
+        arg = np.asarray(arg)
+        win_valid = np.asarray(win_valid)
+        lg = legit[ws : ws + chunk]
+        if len(lg) < chunk:
+            lg = np.concatenate([lg, np.zeros(chunk - len(lg), bool)])
+        keep = lg & win_valid
+        if keep.any():
+            sel_stream.append(np.unique(arg[keep]).astype(np.int64) + ws)
+
+    if sel_stream:
+        sel = np.unique(np.concatenate(sel_stream))
+    else:
+        sel = np.zeros(0, dtype=np.int64)
+
+    cidx, cpos = stream.to_contig_pos(sel)
+
+    # short-contig fallback (one window over all k-mers), host-side
+    extra_ci, extra_pos = [], []
+    for i in stream.short_contigs():
+        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
+        ccodes = (genome.codes if codes is None else codes)[o : o + ln]
+        canon, out, valid = nthash.hash_sequence_np(ccodes, k)
+        if common_bf is not None:
+            valid = valid & _probe_np(common_bf, canon)
+        if repeat_bf is not None:
+            valid = valid & ~_probe_np(repeat_bf, canon)
+        if valid.any():
+            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            extra_ci.append(i)
+            extra_pos.append(int(np.argmin(keys)))
+    if extra_ci:
+        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
+        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
+        order = np.lexsort((cpos, cidx))
+        cidx, cpos = cidx[order], cpos[order]
+
+    canon, hashes = _hash_at_positions(genome, k, cidx, cpos, codes=codes)
+    return GenomeSketch(
+        name=genome.name,
+        k=k,
+        w=w,
+        contig_names=list(genome.contig_names),
+        contig_idx=cidx,
+        positions=cpos,
+        hashes=hashes,
+        canon=canon,
+    )
+
+
+def _probe_np(bf, canon: np.ndarray) -> np.ndarray:
+    """Host-side probe of a DeviceBloomFilter (tiny batches only)."""
+    hi = (canon >> np.uint64(32)).astype(np.uint32)
+    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.asarray(bf.probe(jnp.asarray(hi), jnp.asarray(lo)))
+
+
+def _hash_at_positions(genome, k: int, cidx, cpos, codes=None):
+    """Recompute (canon, out) hashes for selected k-mer positions (host)."""
+    m = len(cpos)
+    if m == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    src = genome.codes if codes is None else codes
+    starts = genome.offsets[cidx] + cpos
+    gather = starts[:, None] + np.arange(k)[None, :]
+    kmers = src[gather]  # [m, k]
+    tf, tr = nthash.hash_tables(k)
+    f = np.zeros(m, np.uint64)
+    r = np.zeros(m, np.uint64)
+    for j in range(k):
+        f ^= tf[j][kmers[:, j]]
+        r ^= tr[j][kmers[:, j]]
+    canon = f + r
+    t = canon * np.uint64(nthash.mix_multiplier(k))
+    out = t ^ (t >> np.uint64(nthash.MULTISHIFT))
+    return canon, out
+
+
+# ---------------------------------------------------------------------------
+# Pure NumPy oracle (tests)
+# ---------------------------------------------------------------------------
+
+
+def sketch_contig_np(ccodes: np.ndarray, k: int, w: int, common=None, repeat=None):
+    """Reference implementation for one contig: returns sorted minimizer
+    positions. `common`/`repeat` are NumpyBloomFilter or None."""
+    canon, out, valid = nthash.hash_sequence_np(ccodes, k)
+    n = len(out)
+    if n == 0 or not valid.any():
+        return np.zeros(0, np.int64)
+    if common is not None:
+        valid &= common.probe(canon)
+    if repeat is not None:
+        valid &= ~repeat.probe(canon)
+    keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+    w_eff = min(w, n)
+    sel = set()
+    for j in range(n - w_eff + 1):
+        win = keys[j : j + w_eff]
+        a = int(np.argmin(win)) + j
+        if valid[a]:
+            sel.add(a)
+    return np.asarray(sorted(sel), dtype=np.int64)

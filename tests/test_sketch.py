@@ -1,0 +1,116 @@
+"""Sketching: device pipeline vs the NumPy sliding-window oracle."""
+
+import numpy as np
+import pytest
+
+from ntsynt_tpu.io.fasta import PackedGenome
+from ntsynt_tpu.ops import sketch, winmin
+from ntsynt_tpu.ops.bloom import NumpyBloomFilter
+import jax.numpy as jnp
+
+
+def _genome_from_contigs(contigs, name="test.fa"):
+    codes = np.concatenate(contigs) if contigs else np.zeros(0, np.uint8)
+    lengths = np.array([len(c) for c in contigs], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    return PackedGenome(
+        path=name,
+        name=name,
+        contig_names=[f"ctg{i}" for i in range(len(contigs))],
+        lengths=lengths,
+        offsets=offsets,
+        codes=codes,
+        raw=np.frombuffer(b"ACGTN", np.uint8)[np.minimum(codes, 4)].copy(),
+        fai_offsets=np.zeros(len(contigs), np.int64),
+        fai_linebases=lengths.copy(),
+        fai_linewidth=lengths + 1,
+    )
+
+
+def _rand_contig(rng, n, n_prob=0.0):
+    c = rng.integers(0, 4, n).astype(np.uint8)
+    if n_prob:
+        c[rng.random(n) < n_prob] = 4
+    return c
+
+
+def test_sliding_argmin_vs_numpy():
+    import jax
+
+    rng = np.random.default_rng(0)
+    n, w = 5000, 37
+    hi = rng.integers(0, 4, n).astype(np.uint32)  # small range forces ties
+    lo = rng.integers(0, 8, n).astype(np.uint32)
+    fn = jax.jit(lambda h, l: winmin.sliding_argmin(h, l, w))
+    arg = np.asarray(fn(jnp.asarray(hi), jnp.asarray(lo)))
+    keys = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    for j in range(0, n - w + 1, 13):
+        want = j + int(np.argmin(keys[j : j + w]))  # np.argmin = leftmost
+        assert arg[j] == want
+
+
+@pytest.mark.parametrize("w", [5, 64, 250])
+def test_sketch_matches_oracle_single_contig(w):
+    rng = np.random.default_rng(42)
+    k = 24
+    contig = _rand_contig(rng, 30_000, n_prob=0.001)
+    g = _genome_from_contigs([contig])
+    s = sketch.sketch_genome(g, k, w, chunk=1 << 12)
+    want = sketch.sketch_contig_np(contig, k, w)
+    assert (s.positions == want).all()
+    # hashes must agree with the oracle hash at those positions
+    from ntsynt_tpu.ops import nthash
+
+    _, out, _ = nthash.hash_sequence_np(contig, k)
+    assert (s.hashes == out[want]).all()
+
+
+def test_sketch_multi_contig_and_short():
+    rng = np.random.default_rng(7)
+    k, w = 20, 100
+    contigs = [
+        _rand_contig(rng, 5000),
+        _rand_contig(rng, 60),  # short: one window over its k-mers
+        _rand_contig(rng, 3000, n_prob=0.01),
+    ]
+    g = _genome_from_contigs(contigs)
+    s = sketch.sketch_genome(g, k, w, chunk=1 << 11)
+    for ci, contig in enumerate(contigs):
+        got = s.positions[s.contig_idx == ci]
+        want = sketch.sketch_contig_np(contig, k, w)
+        assert (got == want).all(), f"contig {ci}"
+
+
+def test_sketch_with_bloom_filters():
+    rng = np.random.default_rng(3)
+    k, w = 20, 50
+    contig = _rand_contig(rng, 8000)
+    g = _genome_from_contigs([contig])
+    from ntsynt_tpu.ops import nthash
+    from ntsynt_tpu.ops.bloom import DeviceBloomFilter
+
+    canon, out, valid = nthash.hash_sequence_np(contig, k)
+    # common BF containing every other kmer; repeat BF with a few kmers
+    nbf = NumpyBloomFilter(1 << 16, k)
+    nbf.insert(canon[::2])
+    rbf_np = NumpyBloomFilter(1 << 16, k)
+    rbf_np.insert(canon[100:120])
+
+    dbf = DeviceBloomFilter(1 << 16, k)
+    hi = (canon[::2] >> np.uint64(32)).astype(np.uint32)
+    lo = (canon[::2] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dbf.insert(jnp.asarray(hi), jnp.asarray(lo))
+    drf = DeviceBloomFilter(1 << 16, k)
+    hi = (canon[100:120] >> np.uint64(32)).astype(np.uint32)
+    lo = (canon[100:120] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    drf.insert(jnp.asarray(hi), jnp.asarray(lo))
+
+    s = sketch.sketch_genome(g, k, w, common_bf=dbf, repeat_bf=drf, chunk=1 << 10)
+    want = sketch.sketch_contig_np(contig, k, w, common=nbf, repeat=rbf_np)
+    assert (s.positions == want).all()
+
+
+def test_empty_and_tiny_genome():
+    g = _genome_from_contigs([np.array([0, 1, 2], np.uint8)])
+    s = sketch.sketch_genome(g, 24, 100, chunk=1 << 10)
+    assert s.n_minimizers == 0
