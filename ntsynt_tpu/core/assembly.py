@@ -1,0 +1,172 @@
+"""Per-assembly minimizer indexes (ntjoin read/filter semantics).
+
+Reconstructs the missing ntJoin layer's data contracts
+(/root/repo/SURVEY.md §2.4) with vectorized NumPy:
+
+  * read_minimizers: per-contig ordered minimizer lists with
+    within-assembly duplicate hashes dropped entirely;
+  * filter_minimizers: keep only minimizers present in ALL assemblies;
+  * list_mx_info: hash -> (contig, position), updatable across
+    refinement rounds (update_list_mx_info, bin/ntsynt_synteny.py:282-290).
+
+Assembly keys are the genome file basenames (the reference keys by the
+sketch TSV filename; we strip the .k<k>.w<w>.tsv suffix at print time
+either way, so the basename is the stable identity).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _dedupe_mask(hashes: np.ndarray) -> np.ndarray:
+    """True where the hash occurs exactly once in the array."""
+    uniq, counts = np.unique(hashes, return_counts=True)
+    dup = uniq[counts > 1]
+    if len(dup) == 0:
+        return np.ones(len(hashes), dtype=bool)
+    loc = np.searchsorted(dup, hashes)
+    loc = np.minimum(loc, len(dup) - 1)
+    return dup[loc] != hashes
+
+
+def _membership(hashes: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if len(sorted_set) == 0:
+        return np.zeros(len(hashes), dtype=bool)
+    loc = np.searchsorted(sorted_set, hashes)
+    loc = np.minimum(loc, len(sorted_set) - 1)
+    return sorted_set[loc] == hashes
+
+
+@dataclass
+class MxInfo:
+    """hash -> (contig index, position) lookup for one assembly."""
+
+    sorted_hash: np.ndarray  # uint64 [M], sorted
+    ctg: np.ndarray  # int32 [M] aligned with sorted_hash
+    pos: np.ndarray  # int64 [M]
+
+    @classmethod
+    def from_arrays(cls, hashes, ctg, pos) -> "MxInfo":
+        order = np.argsort(hashes, kind="stable")
+        return cls(
+            np.asarray(hashes, np.uint64)[order],
+            np.asarray(ctg, np.int32)[order],
+            np.asarray(pos, np.int64)[order],
+        )
+
+    def lookup(self, hashes):
+        """Vectorized lookup; raises KeyError on a missing hash."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        loc = np.searchsorted(self.sorted_hash, hashes)
+        if len(self.sorted_hash) == 0 or (
+            (loc >= len(self.sorted_hash)) | (self.sorted_hash[np.minimum(loc, len(self.sorted_hash) - 1)] != hashes)
+        ).any():
+            raise KeyError("minimizer hash not in mx_info")
+        return self.ctg[loc], self.pos[loc]
+
+    def update(self, hashes, ctg, pos) -> "MxInfo":
+        """Merge in new entries; on duplicate hash the NEW value wins
+        (update_list_mx_info overwrites, bin/ntsynt_synteny.py:287-290)."""
+        if len(hashes) == 0:
+            return self
+        old_keep = ~_membership(self.sorted_hash, np.unique(np.asarray(hashes, np.uint64)))
+        return MxInfo.from_arrays(
+            np.concatenate([self.sorted_hash[old_keep], np.asarray(hashes, np.uint64)]),
+            np.concatenate([self.ctg[old_keep], np.asarray(ctg, np.int32)]),
+            np.concatenate([self.pos[old_keep], np.asarray(pos, np.int64)]),
+        )
+
+
+@dataclass
+class AssemblyMinimizers:
+    """One assembly's sketch, post read_minimizers semantics."""
+
+    key: str  # assembly key (genome basename)
+    contig_names: list
+    # per-contig ordered, deduped minimizer hashes / positions
+    lists: list  # list of uint64 arrays (one per contig, contig order)
+    mx_info: MxInfo
+    genome: object | None = None  # io.fasta.PackedGenome when available
+
+    @classmethod
+    def from_sketch(cls, sk, genome=None, repeat_canon_filter=None) -> "AssemblyMinimizers":
+        """Build from ops.sketch.GenomeSketch.
+
+        repeat_canon_filter: optional callable(canon u64[m]) -> bool mask
+        of minimizers to DROP (the --filter Filter repeat-BF path,
+        bin/ntsynt_synteny.py:605-607).
+        """
+        hashes, cidx, pos, canon = sk.hashes, sk.contig_idx, sk.positions, sk.canon
+        if repeat_canon_filter is not None:
+            keep = ~repeat_canon_filter(canon)
+            hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
+        keep = _dedupe_mask(hashes)
+        hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
+        lists = [hashes[cidx == ci] for ci in range(len(sk.contig_names))]
+        return cls(
+            key=sk.name,
+            contig_names=list(sk.contig_names),
+            lists=lists,
+            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            genome=genome,
+        )
+
+    @classmethod
+    def from_tsv_records(cls, key, records, genome=None) -> "AssemblyMinimizers":
+        """Build from io.sketch_tsv.read_sketch_tsv output."""
+        names = [r[0] for r in records]
+        hashes = np.concatenate([r[1] for r in records]) if records else np.zeros(0, np.uint64)
+        cidx = np.concatenate(
+            [np.full(len(r[1]), i, np.int32) for i, r in enumerate(records)]
+        ) if records else np.zeros(0, np.int32)
+        pos = np.concatenate([r[2] for r in records]) if records else np.zeros(0, np.int64)
+        keep = _dedupe_mask(hashes)
+        hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
+        lists = [hashes[cidx == ci] for ci in range(len(names))]
+        return cls(
+            key=key,
+            contig_names=names,
+            lists=lists,
+            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            genome=genome,
+        )
+
+
+def filter_common(assemblies: dict) -> None:
+    """Keep only minimizers present in every assembly, in place
+    (ntjoin_utils.filter_minimizers contract; SURVEY.md §2.4).
+
+    `assemblies` maps key -> AssemblyMinimizers; each assembly's lists
+    are filtered to the cross-assembly intersection. mx_info is left
+    as-is (the reference keeps full mx_info too).
+    """
+    sets = [
+        np.unique(np.concatenate(a.lists)) if a.lists else np.zeros(0, np.uint64)
+        for a in assemblies.values()
+    ]
+    common = sets[0]
+    for s in sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    for a in assemblies.values():
+        a.lists = [lst[_membership(lst, common)] for lst in a.lists]
+
+
+def filter_segments_common(segments_per_asm: dict) -> dict:
+    """filter_minimizers over refinement segment lists.
+
+    segments_per_asm: key -> list of uint64 arrays (split segments).
+    Returns the same structure filtered to the cross-assembly
+    intersection (bin/ntsynt_synteny.py:539).
+    """
+    sets = []
+    for segs in segments_per_asm.values():
+        flat = np.concatenate(segs) if segs else np.zeros(0, np.uint64)
+        sets.append(np.unique(flat))
+    common = sets[0]
+    for s in sets[1:]:
+        common = np.intersect1d(common, s, assume_unique=True)
+    return {
+        key: [seg[_membership(seg, common)] for seg in segs]
+        for key, segs in segments_per_asm.items()
+    }

@@ -1,0 +1,416 @@
+"""The ntSynt synteny-detection algorithm, end-to-end in memory.
+
+Drives the full reference flow (NtSyntSynteny.main_synteny +
+refine_block_coordinates, bin/ntsynt_synteny.py:593-647,476-541) over
+the TPU sketcher, the array graph and the array block machinery:
+
+  load sketches -> minimizer graph -> [simplify] -> weight filter ->
+  linear paths -> blocks -> indel breaks -> >=4-mx filter -> initial TSV
+  -> per w in w_rounds: mask block interiors, re-sketch at w, filter
+  candidates, extend graph (terminal black-list), filter (+ erosion on
+  the last round), re-extract blocks, write pre-merge TSV; on the last
+  round: two-pass collinear merge + final TSV.
+
+Determinism mirrors the reference: assemblies processed in
+reverse-sorted key order (bin/ntsynt_synteny.py:34), path direction
+normalized so the representative (lexicographically smallest) assembly
+ascends — the property observed in every golden block — and block
+output lexicographically sorted (synteny_block.py:102-109).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.mxgraph import MinimizerGraph
+from ..ops import sketch as sketch_ops
+from ..utils import log
+from . import blocks as blk
+from . import refine as rf
+from .assembly import AssemblyMinimizers, filter_common, filter_segments_common
+
+
+@dataclass
+class SyntenyParams:
+    k: int = 24
+    w: int = 1000
+    n: int = 0  # min edge weight; 0 -> #assemblies (bin/ntsynt_run.py:15)
+    m: float = 90.0  # orientation vote threshold (:35-37)
+    z: int = 500  # min block size (:20)
+    bp: int = 500  # indel threshold (:28-29)
+    collinear_merge: str = "1w"  # '<num>w' or bp (:30-32)
+    w_rounds: tuple = (100, 10)  # (:26-27)
+    simplify_graph: bool = True
+    dev: bool = False
+    interarrivals: bool = False
+    prefix: str = "out"
+    # sketching filters
+    common_bf: object = None  # DeviceBloomFilter or None
+    repeat_bf: object = None  # DeviceBloomFilter or None (indexlr -r mode)
+    chunk: int = sketch_ops.DEFAULT_CHUNK
+
+    def resolve_collinear_merge(self) -> int:
+        """'<num>w' -> num * w, else bp int (bin/ntsynt_synteny.py:37-42)."""
+        s = str(self.collinear_merge)
+        if s.endswith("w") and s[:-1].isdigit():
+            return int(s[:-1]) * self.w
+        if s.isdigit() or (s.startswith("-") and s[1:].isdigit()):
+            return int(s)
+        raise ValueError(
+            "--collinear-merge must be an integer or a string like '<num>w'"
+        )
+
+
+class SyntenyDetector:
+    """One synteny run over N assemblies."""
+
+    def __init__(self, assemblies, params: SyntenyParams):
+        """
+        Args:
+          assemblies: dict key -> AssemblyMinimizers (genomes attached
+            when refinement rounds must re-sketch).
+          params: SyntenyParams.
+        """
+        # canonical FILES order: reverse-sorted keys (bin/ntsynt_synteny.py:34)
+        self.files = sorted(assemblies.keys(), reverse=True)
+        self.assemblies = {k: assemblies[k] for k in self.files}
+        self.params = params
+        if params.n == 0:
+            params.n = len(self.files)
+        self.weights = {k: 1 for k in self.files}  # (:32)
+        self.max_edge_weight = sum(self.weights.values())
+        self.collinear_merge_bp = params.resolve_collinear_merge()
+        self.rep = self.files[-1]  # lexicographically smallest assembly
+        self.graph = MinimizerGraph.empty()
+        self.block_ctx = blk.BlockSet(
+            self.files,
+            [self.assemblies[k].contig_names for k in self.files],
+            params.k,
+        )
+
+    # ------------------------------------------------------------------
+    # lookups
+    # ------------------------------------------------------------------
+    def _lookup(self, hashes):
+        """(ctg, pos) matrices [n_asm, L] in FILES order."""
+        ctgs, poss = [], []
+        for key in self.files:
+            c, p = self.assemblies[key].mx_info.lookup(hashes)
+            ctgs.append(c)
+            poss.append(p)
+        return np.stack(ctgs), np.stack(poss)
+
+    def _orient_path(self, path_mx: np.ndarray) -> np.ndarray:
+        """Normalize direction: representative assembly ascends."""
+        _, pos = self.assemblies[self.rep].mx_info.lookup(
+            np.asarray([path_mx[0], path_mx[-1]], dtype=np.uint64)
+        )
+        return path_mx[::-1] if pos[0] > pos[1] else path_mx
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+    def make_minimizer_graph(self):
+        log("Building the minimizer graph")
+        adj = [(k, self.assemblies[k].lists) for k in self.files]
+        self.graph = MinimizerGraph.build(adj, self.weights)
+
+    def write_dot(self, path: str):
+        """Emit the minimizer graph as Graphviz (the reference's
+        <prefix>.mx.dot artifact from make_minimizer_graph)."""
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("graph {\n")
+            for i, h in enumerate(self.graph.node_hash):
+                f.write(f'  n{i} [label="{h}"];\n')
+            for u, v, w in zip(self.graph.eu, self.graph.ev, self.graph.weight):
+                f.write(f"  n{u} -- n{v} [weight={w}];\n")
+            f.write("}\n")
+
+    def paths_to_blocks(self, paths):
+        """find_paths_synteny_blocks (bin/ntsynt_synteny.py:543-546)."""
+        log("Finding synteny blocks")
+        out = []
+        to_remove = []
+        for path_mx in paths:
+            if len(path_mx) < 2:
+                continue
+            path_mx = self._orient_path(path_mx)
+            block, removed = blk.blocks_from_path(
+                path_mx, self._lookup, self.params.k, self.params.m
+            )
+            if block is not None:
+                out.append(block)
+            else:
+                if self.params.dev:
+                    log("Not oriented block of", len(removed), "minimizers", dev_only=True)
+                to_remove.extend(removed.tolist())
+        if to_remove:
+            self.graph = self.graph.delete_nodes_by_hash(
+                np.asarray(to_remove, dtype=np.uint64)
+            )
+        return out
+
+    def indel_pass(self, blocks):
+        """check_for_indels + graph edge removal (bin/ntsynt_synteny.py:391-409)."""
+        blocks, removed_edges = blk.check_for_indels(blocks, self.params.bp)
+        if removed_edges:
+            edge_ids = [self.graph.edge_id(u, v) for u, v in removed_edges]
+            self.graph = self.graph.delete_edges(edge_ids)
+        return blocks
+
+    def min_mx_pass(self, blocks, threshold=4):
+        """filter_synteny_blocks (bin/ntsynt_synteny.py:411-426)."""
+        blocks, removed = blk.filter_blocks_min_mx(blocks, threshold)
+        if removed:
+            self.graph = self.graph.delete_nodes_by_hash(
+                np.asarray(removed, dtype=np.uint64)
+            )
+        return blocks
+
+    # -- erosion (last refinement round) --------------------------------
+    def _erode_edges(self, src_idx: int, tgt_idx: int, indptr, eids, other):
+        """erode_edges (bin/ntsynt_synteny.py:312-340): walk inward from a
+        sub-threshold edge's endpoints while the two frontier minimizers
+        physically overlap (< k apart in any assembly), alternating
+        sides, collecting incident edges to remove."""
+        g = self.graph
+        k = self.params.k
+
+        def overlaps(h1, h2):
+            _, p = self._lookup(np.asarray([h1, h2], dtype=np.uint64))
+            return bool((np.abs(p[:, 0] - p[:, 1]) < k).any())
+
+        erode_target = True
+        cur_s, cur_t = src_idx, tgt_idx
+        return_edges = set()
+        visited = {cur_s, cur_t}
+        name_s = int(g.node_hash[cur_s])
+        name_t = int(g.node_hash[cur_t])
+        while overlaps(name_s, name_t):
+            v = cur_t if erode_target else cur_s
+            ids_v = eids[indptr[v] : indptr[v + 1]]
+            nb_v = other[indptr[v] : indptr[v + 1]]
+            return_edges.update(int(e) for e in ids_v)
+            candidates = [int(n) for n in nb_v if int(n) not in visited]
+            if not candidates:
+                break
+            assert len(candidates) == 1
+            nxt = candidates[0]
+            visited.add(nxt)
+            if erode_target:
+                cur_t = nxt
+                name_t = int(g.node_hash[cur_t])
+            else:
+                cur_s = nxt
+                name_s = int(g.node_hash[cur_s])
+            erode_target = not erode_target
+        return return_edges
+
+    def refine_graph_erosion(self, flagged_pairs):
+        """refine_graph (bin/ntsynt_synteny.py:343-362)."""
+        if not flagged_pairs:
+            return
+        deg = self.graph.degree()
+        indptr, eids, other = self.graph.incident_csr()
+        to_remove = []
+        idx_pairs = self.graph.node_index(
+            np.asarray(flagged_pairs, dtype=np.uint64).reshape(-1)
+        ).reshape(-1, 2)
+        for (hu, hv), (iu, iv) in zip(flagged_pairs, idx_pairs):
+            # normalize by hash STRING comparison for determinism (:350-352)
+            if str(hu) > str(hv):
+                hu, hv, iu, iv = hv, hu, iv, iu
+            if iu < 0 or iv < 0:
+                continue
+            if deg[iu] != 1 or deg[iv] != 1:
+                continue
+            to_remove.extend(self._erode_edges(int(iu), int(iv), indptr, eids, other))
+        if to_remove:
+            self.graph = self.graph.delete_edges(set(to_remove))
+
+    # ------------------------------------------------------------------
+    # refinement rounds
+    # ------------------------------------------------------------------
+    def generate_additional_minimizers(self, blocks, new_w: int, prev_w: int):
+        """generate_additional_minimizers (bin/ntsynt_synteny.py:532-541)."""
+        p = self.params
+        n_asm = len(self.files)
+        mask_ivs = rf.synteny_mask_intervals(blocks, n_asm, prev_w, p.k)
+        terminal, internal, intervals = rf.find_mx_in_blocks(blocks, self.files)
+
+        segments_per_asm = {}
+        new_info = {}
+        for a, key in enumerate(self.files):
+            asm = self.assemblies[key]
+            if asm.genome is None:
+                raise RuntimeError(
+                    f"assembly {key} has no genome attached; refinement "
+                    "rounds need the sequences to re-sketch"
+                )
+            masked = rf.apply_mask(asm.genome, mask_ivs[a])
+            sk = sketch_ops.sketch_genome(
+                asm.genome,
+                p.k,
+                new_w,
+                common_bf=p.common_bf,
+                repeat_bf=p.repeat_bf,
+                chunk=p.chunk,
+                codes=masked,
+            )
+            # read_minimizers semantics: drop within-assembly duplicates
+            tmp = AssemblyMinimizers.from_sketch(sk, genome=asm.genome)
+            per_ctg = []
+            ctg_of_list = []
+            for ci in range(len(tmp.contig_names)):
+                h = tmp.lists[ci]
+                if len(h) == 0:
+                    continue
+                _, pos_arr = tmp.mx_info.lookup(h)
+                per_ctg.append((h, pos_arr))
+                ctg_of_list.append(ci)
+            asm_intervals = {
+                c: iv for (ai, c), iv in intervals.items() if ai == a
+            }
+            segments_per_asm[key] = rf.filter_new_minimizer_lists(
+                per_ctg, internal, asm_intervals, ctg_of_list
+            )
+            new_info[key] = tmp.mx_info
+
+        segments_per_asm = filter_segments_common(segments_per_asm)
+
+        # update_list_mx_info (:282-290): merge kept new mx into mx_info
+        for key in self.files:
+            kept = (
+                np.unique(np.concatenate(segments_per_asm[key]))
+                if segments_per_asm[key]
+                else np.zeros(0, np.uint64)
+            )
+            if len(kept):
+                ctg, pos_arr = new_info[key].lookup(kept)
+                self.assemblies[key].mx_info = self.assemblies[key].mx_info.update(
+                    kept, ctg, pos_arr
+                )
+        return segments_per_asm, terminal
+
+    def refine_block_coordinates(self, blocks):
+        """refine_block_coordinates (bin/ntsynt_synteny.py:476-530)."""
+        p = self.params
+        prev_w = p.w
+        ctx = self.block_ctx
+        for new_w in p.w_rounds:
+            log(f"Extending synteny blocks with w = {new_w}")
+            segments, terminal = self.generate_additional_minimizers(blocks, new_w, prev_w)
+            adj = [(k, segments[k]) for k in self.files]
+            graph = MinimizerGraph.build(
+                adj, self.weights, seed=self.graph, black_list=terminal
+            )
+            # NOTE: the reference nominally re-simplifies here, but its
+            # result is immediately overwritten (bin/ntsynt_synteny.py:
+            # 484-491 simplifies self.graph, then reassigns self.graph
+            # from `graph`), so simplification is a no-op in refinement
+            # rounds; we mirror the net behavior.
+            if new_w == p.w_rounds[-1]:
+                log("Filtering the graph")
+                self.graph, pairs = graph.filter_global(p.n, flag=True)
+                self.refine_graph_erosion(pairs)
+            else:
+                self.graph = graph.filter_global(p.n)
+            blocks = self.paths_to_blocks(self.graph.linear_paths())
+            blocks = self.indel_pass(blocks)
+            blocks = self.min_mx_pass(blocks, 4)
+            blocks_sorted = ctx.sorted_blocks(blocks)
+            ctx.write_blocks_tsv(
+                f"{p.prefix}.pre-collinear-merge.synteny_blocks.tsv",
+                blocks_sorted,
+                p.z,
+            )
+            if new_w == p.w_rounds[-1]:
+                merged = blk.merge_collinear_blocks(
+                    blocks_sorted, p.bp, p.k, self.collinear_merge_bp
+                )
+                merged = [b for b in merged if (b.lengths() >= p.z).all()]
+                merged = blk.merge_collinear_blocks(
+                    merged, p.bp, p.k, self.collinear_merge_bp
+                )
+                if p.dev:
+                    self.check_non_overlapping(merged)
+                ctx.write_blocks_tsv(
+                    f"{p.prefix}.synteny_blocks.tsv", merged, p.z, verbose=True
+                )
+            prev_w = new_w
+        log("Done extended synteny blocks")
+        log(f"Final synteny blocks can be found in: {p.prefix}.synteny_blocks.tsv")
+
+    def check_non_overlapping(self, blocks):
+        """--dev sanity pass (bin/ntsynt_synteny.py:234-253)."""
+        import sys
+
+        seen = {}
+        for block in blocks:
+            if not (block.lengths() >= self.params.z).all():
+                continue
+            starts, ends = block.starts(), block.ends()
+            for a in range(len(self.files)):
+                key = (a, int(block.ctg[a]))
+                for s0, e0 in seen.get(key, []):
+                    lo = max(int(starts[a]), s0)
+                    hi = min(int(ends[a]), e0)
+                    if hi - lo >= self.params.z:
+                        print(
+                            "WARNING: detected overlapping segments for this block:",
+                            self.files[a],
+                            self.block_ctx.contig_name(a, int(block.ctg[a])),
+                            int(starts[a]),
+                            int(ends[a]),
+                            "\n",
+                            file=sys.stderr,
+                            flush=True,
+                        )
+                        break
+                seen.setdefault(key, []).append((int(starts[a]), int(ends[a])))
+
+    def print_interarrivals(self, blocks):
+        """--interarrivals diagnostic (bin/ntsynt_synteny.py:557-564)."""
+        with open(f"{self.params.prefix}.interarrivals.tsv", "w", encoding="utf-8") as f:
+            for block in blocks:
+                d = np.abs(np.diff(block.pos.astype(np.int64), axis=1))
+                for a in range(d.shape[0]):
+                    for v in d[a]:
+                        f.write(f"{v}\n")
+
+    # ------------------------------------------------------------------
+    # main
+    # ------------------------------------------------------------------
+    def run(self):
+        """main_synteny (bin/ntsynt_synteny.py:593-647)."""
+        p = self.params
+        if len(p.w_rounds) != len(set(p.w_rounds)):
+            raise ValueError("duplicate values found in w_rounds!")
+
+        filter_common(self.assemblies)
+        self.make_minimizer_graph()
+        if p.dev:
+            self.write_dot(f"{p.prefix}.mx.dot")
+        if p.simplify_graph:
+            log("Running graph simplification")
+            self.graph = self.graph.simplify_bubbles(self.max_edge_weight)
+        self.graph = self.graph.filter_global(p.n)
+
+        blocks = self.paths_to_blocks(self.graph.linear_paths())
+        blocks = self.indel_pass(blocks)
+        blocks = self.min_mx_pass(blocks, 4)
+        if p.interarrivals:
+            self.print_interarrivals(blocks)
+        blocks_sorted = self.block_ctx.sorted_blocks(blocks)
+        if not blocks_sorted:
+            raise RuntimeError(
+                "no paths found. Try adjusting the specified k/w parameters."
+            )
+        self.block_ctx.write_blocks_tsv(
+            f"{p.prefix}.synteny_blocks.tsv", blocks_sorted, p.z
+        )
+        log("Done initial synteny blocks")
+
+        self.refine_block_coordinates(blocks)
+        log("DONE!")
+        return f"{p.prefix}.synteny_blocks.tsv"

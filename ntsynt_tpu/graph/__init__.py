@@ -1,1 +1,1 @@
-
+from .mxgraph import MinimizerGraph  # noqa: F401

@@ -1,0 +1,340 @@
+"""Array-based undirected minimizer graph (igraph replacement).
+
+The reference stores the minimizer graph in python-igraph
+(/root/repo/SURVEY.md §2.4) with vertices named by minimizer hash and
+weighted edges from per-assembly adjacency. This module reimplements
+exactly the operations ntSynt uses, on flat NumPy arrays:
+
+  * build/extend from per-assembly adjacency lists with weight
+    accumulation (ntjoin_utils.build_graph contract, incl. ``graph=``
+    seeding and ``black_list=`` suppression of terminal-terminal edges;
+    bin/ntsynt_synteny.py:483),
+  * global weight filtering, with or without flagging removed edges
+    (Ntjoin.filter_graph_global / filter_graph_global_flag_overlaps,
+    bin/ntsynt_synteny.py:292-303),
+  * bubble simplification (run_graph_simplification,
+    bin/ntsynt_synteny.py:566-590),
+  * degree/incidence queries and edge/vertex deletion used by block
+    filtering and erosion (bin/ntsynt_synteny.py:312-362,391-425),
+  * linear-path extraction (ntjoin_find_paths contract): maximal chains
+    walked from degree-1 endpoints.
+
+Nodes are identified by their uint64 minimizer hash. Edge order is kept
+in first-insertion order (matching igraph's insertion-ordered edge list)
+because graph simplification mutates weights while scanning edges in
+that order.
+
+Scale note: with default parameters the graph holds ~2·L/w shared
+minimizers (~6M nodes for mammal-scale genomes at w=1000); the Python
+build loop is adequate for demo/bench scale and flagged for
+vectorization (np.unique-based) when human-scale runs land.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MinimizerGraph:
+    # nodes
+    node_hash: np.ndarray  # uint64 [n] (insertion order)
+    # edges as indices into node arrays, first-insertion order
+    eu: np.ndarray  # int64 [m]
+    ev: np.ndarray  # int64 [m]
+    weight: np.ndarray  # int64 [m]
+    # caches
+    _sorted_hash: np.ndarray | None = field(default=None, repr=False)
+    _sorted_perm: np.ndarray | None = field(default=None, repr=False)
+    _degree: np.ndarray | None = field(default=None, repr=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_hash)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.eu)
+
+    def _ensure_lookup(self):
+        if self._sorted_hash is None:
+            self._sorted_perm = np.argsort(self.node_hash, kind="stable")
+            self._sorted_hash = self.node_hash[self._sorted_perm]
+
+    def node_index(self, hashes) -> np.ndarray:
+        """Vectorized hash -> node index (-1 if absent)."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self.n_nodes == 0:
+            return np.full(len(hashes), -1, dtype=np.int64)
+        self._ensure_lookup()
+        loc = np.searchsorted(self._sorted_hash, hashes)
+        loc = np.minimum(loc, len(self._sorted_hash) - 1)
+        found = self._sorted_hash[loc] == hashes
+        return np.where(found, self._sorted_perm[loc], -1).astype(np.int64)
+
+    def degree(self) -> np.ndarray:
+        if self._degree is None:
+            d = np.zeros(self.n_nodes, dtype=np.int64)
+            np.add.at(d, self.eu, 1)
+            np.add.at(d, self.ev, 1)
+            self._degree = d
+        return self._degree
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def empty(cls) -> "MinimizerGraph":
+        z64 = np.zeros(0, dtype=np.int64)
+        return cls(np.zeros(0, dtype=np.uint64), z64, z64.copy(), z64.copy())
+
+    @classmethod
+    def build(
+        cls,
+        adjacency_lists,
+        weights,
+        seed: "MinimizerGraph | None" = None,
+        black_list=None,
+    ) -> "MinimizerGraph":
+        """Build/extend the graph from per-assembly adjacency.
+
+        Args:
+          adjacency_lists: iterable of (assembly_key, list of uint64
+            arrays) — for each assembly, its ordered minimizer lists
+            (one per contig / split segment). Must be iterated in the
+            pipeline's canonical FILES order so edge insertion order is
+            deterministic.
+          weights: dict assembly_key -> weight (ntSynt forces all 1,
+            bin/ntsynt_synteny.py:32).
+          seed: existing graph to extend (refinement rounds).
+          black_list: uint64 hashes (block-terminal minimizers). New
+            adjacency pairs whose BOTH endpoints are black-listed are
+            skipped, so two existing blocks are never bridged without
+            new interior evidence — and a block's own terminals (made
+            adjacent in refinement lists because interior minimizers are
+            filtered out) don't get a spurious chord.
+        """
+        hash_to_idx = {}
+        node_hashes = []
+        edge_pos = {}
+        eu, ev, ew = [], [], []
+        if seed is not None:
+            node_hashes = [int(h) for h in seed.node_hash]
+            hash_to_idx = {h: i for i, h in enumerate(node_hashes)}
+            for i in range(seed.n_edges):
+                u, v, wt = int(seed.eu[i]), int(seed.ev[i]), int(seed.weight[i])
+                key = (u, v) if u <= v else (v, u)
+                edge_pos[key] = len(eu)
+                eu.append(u)
+                ev.append(v)
+                ew.append(wt)
+        bl = set(map(int, black_list)) if black_list is not None else None
+
+        for asm_key, mx_lists in adjacency_lists:
+            wt = weights[asm_key]
+            for mx_list in mx_lists:
+                prev_i = prev_h = None
+                for h in np.asarray(mx_list, dtype=np.uint64):
+                    h = int(h)
+                    i = hash_to_idx.get(h)
+                    if i is None:
+                        i = len(node_hashes)
+                        hash_to_idx[h] = i
+                        node_hashes.append(h)
+                    if prev_i is not None:
+                        if bl is not None and prev_h in bl and h in bl:
+                            pass  # suppressed terminal-terminal edge
+                        else:
+                            key = (prev_i, i) if prev_i <= i else (i, prev_i)
+                            p = edge_pos.get(key)
+                            if p is None:
+                                edge_pos[key] = len(eu)
+                                eu.append(prev_i)
+                                ev.append(i)
+                                ew.append(wt)
+                            else:
+                                ew[p] += wt
+                    prev_i, prev_h = i, h
+
+        return cls(
+            np.asarray(node_hashes, dtype=np.uint64),
+            np.asarray(eu, dtype=np.int64),
+            np.asarray(ev, dtype=np.int64),
+            np.asarray(ew, dtype=np.int64),
+        )
+
+    # ------------------------------------------------------------------
+    # mutation (functional: return new graph)
+    # ------------------------------------------------------------------
+    def delete_edges(self, edge_ids) -> "MinimizerGraph":
+        edge_ids = list(edge_ids)
+        if not edge_ids:
+            return self
+        keep = np.ones(self.n_edges, dtype=bool)
+        keep[np.asarray(edge_ids, dtype=np.int64)] = False
+        return MinimizerGraph(self.node_hash, self.eu[keep], self.ev[keep], self.weight[keep])
+
+    def delete_nodes_by_hash(self, hashes) -> "MinimizerGraph":
+        """Remove nodes (and incident edges) by minimizer hash."""
+        hashes = np.asarray(list(hashes), dtype=np.uint64)
+        if len(hashes) == 0:
+            return self
+        doomed_idx = self.node_index(hashes)
+        doomed = np.zeros(self.n_nodes, dtype=bool)
+        doomed[doomed_idx[doomed_idx >= 0]] = True
+        keep_nodes = ~doomed
+        remap = np.cumsum(keep_nodes) - 1
+        keep_edges = keep_nodes[self.eu] & keep_nodes[self.ev]
+        return MinimizerGraph(
+            self.node_hash[keep_nodes],
+            remap[self.eu[keep_edges]],
+            remap[self.ev[keep_edges]],
+            self.weight[keep_edges],
+        )
+
+    def filter_global(self, min_weight: int, flag: bool = False):
+        """Drop edges with weight < min_weight.
+
+        With flag=True also return the (u_hash, v_hash) endpoint pairs of
+        removed edges in edge order
+        (filter_graph_global_flag_overlaps, bin/ntsynt_synteny.py:292-303).
+        """
+        keep = self.weight >= min_weight
+        g = MinimizerGraph(self.node_hash, self.eu[keep], self.ev[keep], self.weight[keep])
+        if not flag:
+            return g
+        dropped = ~keep
+        pairs = list(
+            zip(
+                self.node_hash[self.eu[dropped]].tolist(),
+                self.node_hash[self.ev[dropped]].tolist(),
+            )
+        )
+        return g, pairs
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def incident_csr(self):
+        """CSR of incidences: (indptr, edge_ids, other_node), sorted by node."""
+        m = self.n_edges
+        src = np.concatenate([self.eu, self.ev])
+        other = np.concatenate([self.ev, self.eu])
+        eid = np.concatenate([np.arange(m), np.arange(m)])
+        order = np.argsort(src, kind="stable")
+        src, other, eid = src[order], other[order], eid[order]
+        indptr = np.zeros(self.n_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, src + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, eid, other
+
+    def edge_id(self, hu, hv) -> int:
+        """Edge id between two node hashes (ntjoin_utils.edge_index)."""
+        iu, iv = self.node_index(np.array([hu, hv], dtype=np.uint64))
+        hits = np.where(
+            ((self.eu == iu) & (self.ev == iv)) | ((self.eu == iv) & (self.ev == iu))
+        )[0]
+        if len(hits) == 0:
+            raise KeyError(f"no edge between {hu} and {hv}")
+        return int(hits[0])
+
+    # ------------------------------------------------------------------
+    # simplification (bubbles)
+    # ------------------------------------------------------------------
+    def simplify_bubbles(self, max_edge_weight: int) -> "MinimizerGraph":
+        """Remove simple 2-step bubbles (run_graph_simplification,
+        bin/ntsynt_synteny.py:566-590).
+
+        For each edge (in insertion order) whose endpoints both have
+        degree 3 and are "partially anchored" (exactly one incident edge
+        of max weight), if there is exactly one alternative 2-step path,
+        delete its middle node and promote this edge to max weight. The
+        weight promotion is visible to later iterations, matching the
+        reference's in-place mutation during the edge scan.
+        """
+        if self.n_edges == 0:
+            return self
+        deg = self.degree()
+        weight = self.weight.copy()
+        indptr, eids, other = self.incident_csr()
+
+        def incident(v):
+            return eids[indptr[v] : indptr[v + 1]], other[indptr[v] : indptr[v + 1]]
+
+        to_remove_nodes = []
+        for e in range(self.n_edges):
+            s, t = int(self.eu[e]), int(self.ev[e])
+            if deg[s] != 3 or deg[t] != 3:
+                continue
+            ids_s, ns = incident(s)
+            ids_t, nt = incident(t)
+            if int((weight[ids_s] == max_edge_weight).sum()) != 1:
+                continue
+            if int((weight[ids_t] == max_edge_weight).sum()) != 1:
+                continue
+            common = np.intersect1d(ns, nt)
+            common = common[(common != s) & (common != t)]
+            # exactly 2 simple paths of <=2 steps: the edge itself + one bubble
+            if len(common) == 1:
+                to_remove_nodes.append(int(common[0]))
+                weight[e] = max_edge_weight
+
+        g = MinimizerGraph(self.node_hash, self.eu, self.ev, weight)
+        if to_remove_nodes:
+            g = g.delete_nodes_by_hash(self.node_hash[np.asarray(to_remove_nodes, np.int64)])
+        return g
+
+    # ------------------------------------------------------------------
+    # path extraction
+    # ------------------------------------------------------------------
+    def linear_paths(self):
+        """Extract maximal simple chains (ntjoin_find_paths contract).
+
+        Returns a list of uint64 arrays — each the ordered minimizer
+        hashes of one maximal path walked between degree-1 endpoints.
+        Each undirected chain is returned ONCE, in an arbitrary of its
+        two directions (the caller normalizes direction against the
+        representative assembly). Chains that run into a node of degree
+        > 2 are dropped (the reference's traversal only handles simple
+        paths; with the default min-edge-weight = #assemblies, degree
+        > 2 cannot occur — see SURVEY.md §3.2). Pure cycles have no
+        degree-1 endpoint and are dropped. Isolated nodes yield nothing.
+        """
+        m = self.n_edges
+        if m == 0:
+            return []
+        deg = self.degree()
+        indptr, eids, other = self.incident_csr()
+
+        start_nodes = np.where(deg == 1)[0]
+        seen_edges = np.zeros(m, dtype=bool)
+        paths = []
+        for s in start_nodes:
+            e0 = eids[indptr[s]]
+            if seen_edges[e0]:
+                continue  # the reverse traversal of an emitted chain
+            nodes = [s]
+            prev = s
+            cur = int(other[indptr[s]])
+            seen_edges[e0] = True
+            ok = True
+            while True:
+                nodes.append(cur)
+                if deg[cur] == 1:
+                    break
+                if deg[cur] > 2:
+                    ok = False
+                    break
+                ids_c = eids[indptr[cur] : indptr[cur + 1]]
+                nb_c = other[indptr[cur] : indptr[cur + 1]]
+                if nb_c[0] == prev:
+                    nxt_node, nxt_edge = int(nb_c[1]), ids_c[1]
+                else:
+                    nxt_node, nxt_edge = int(nb_c[0]), ids_c[0]
+                seen_edges[nxt_edge] = True
+                prev = cur
+                cur = nxt_node
+            if ok:
+                paths.append(self.node_hash[np.asarray(nodes, dtype=np.int64)])
+        return paths

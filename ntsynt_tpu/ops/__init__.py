@@ -1,1 +1,1 @@
-from . import u64, nthash, winmin, sketch, bloom  # noqa: F401
+from . import u64, nthash, winmin, sketch, bloom, bf_build  # noqa: F401
