@@ -1,1 +1,1 @@
-
+from .stats import compute_stats  # noqa: F401

@@ -131,33 +131,37 @@ def _bit_index(canon_hi, canon_lo, bits_log2: int):
     return word, mask
 
 
+def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int):
+    """Pure scatter-OR insert (jit-safe; also usable inside shard_map)."""
+    n_words = (1 << bits_log2) // 32
+    word, mask = _bit_index(canon_hi, canon_lo, bits_log2)
+    # route invalid entries to the dummy slot past the end
+    word = jnp.where(valid, word, jnp.int32(n_words))
+    mask = jnp.where(valid, mask, jnp.uint32(0))
+    word, mask = jax.lax.sort((word, mask), num_keys=1)
+    # segmented OR within runs of equal word index (log-step doubling)
+    n = word.shape[0]
+    shift = 1
+    while shift < n:
+        prev_w = jnp.concatenate([jnp.full(shift, -1, jnp.int32), word[:-shift]])
+        prev_m = jnp.concatenate([jnp.zeros(shift, jnp.uint32), mask[:-shift]])
+        mask = mask | jnp.where(word == prev_w, prev_m, jnp.uint32(0))
+        shift <<= 1
+    # last element of each run carries the full OR
+    nxt = jnp.concatenate([word[1:], jnp.full(1, -2, jnp.int32)])
+    run_end = word != nxt
+    scatter_idx = jnp.where(run_end, word, jnp.int32(n_words))
+    ext = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
+    merged = ext[scatter_idx] | mask
+    ext = ext.at[scatter_idx].set(jnp.where(run_end, merged, jnp.uint32(0)), mode="drop")
+    return ext[:-1]
+
+
 @functools.lru_cache(maxsize=None)
 def _insert_kernel(bits_log2: int):
-    n_words = (1 << bits_log2) // 32
-
     @jax.jit
     def insert(words, canon_hi, canon_lo, valid):
-        word, mask = _bit_index(canon_hi, canon_lo, bits_log2)
-        # route invalid entries to the dummy slot past the end
-        word = jnp.where(valid, word, jnp.int32(n_words))
-        mask = jnp.where(valid, mask, jnp.uint32(0))
-        word, mask = jax.lax.sort((word, mask), num_keys=1)
-        # segmented OR within runs of equal word index (log-step doubling)
-        n = word.shape[0]
-        shift = 1
-        while shift < n:
-            prev_w = jnp.concatenate([jnp.full(shift, -1, jnp.int32), word[:-shift]])
-            prev_m = jnp.concatenate([jnp.zeros(shift, jnp.uint32), mask[:-shift]])
-            mask = mask | jnp.where(word == prev_w, prev_m, jnp.uint32(0))
-            shift <<= 1
-        # last element of each run carries the full OR
-        nxt = jnp.concatenate([word[1:], jnp.full(1, -2, jnp.int32)])
-        run_end = word != nxt
-        scatter_idx = jnp.where(run_end, word, jnp.int32(n_words))
-        ext = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
-        merged = ext[scatter_idx] | mask
-        ext = ext.at[scatter_idx].set(jnp.where(run_end, merged, jnp.uint32(0)), mode="drop")
-        return ext[:-1]
+        return insert_words(words, canon_hi, canon_lo, valid, bits_log2)
 
     return insert
 

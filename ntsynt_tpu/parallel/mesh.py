@@ -1,0 +1,146 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference is a single-node multi-process pipeline (SURVEY.md §2.3);
+its TPU-native analog shards genome tiles across chips and combines the
+only global state — Bloom-filter bit arrays and minimizer selections —
+with XLA collectives over ICI:
+
+  * genome code tiles: sharded over the 'shard' mesh axis (the
+    data-parallel analog of snakemake's per-genome fan-out),
+  * Bloom-filter words: each device inserts its tiles' k-mer hashes into
+    a local replica, then a bitwise-OR all-reduce (ppermute butterfly
+    for power-of-two meshes, all-gather+OR otherwise) makes the filter
+    globally consistent,
+  * per-tile minimizer selections stay sharded; hosts gather them for
+    the (tiny) graph stage.
+
+Everything is expressed with shard_map over a 1-D mesh so the same code
+runs on a real pod slice or on the 8-virtual-device CPU mesh used in
+tests and the driver's dry run.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import bloom, nthash, winmin
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return jax.make_mesh((n,), (AXIS,), devices=devices[:n])
+
+
+def allreduce_or(x, axis_name: str = AXIS):
+    """Bitwise-OR all-reduce of a uint32 array across a mesh axis.
+
+    XLA has no OR all-reduce primitive, so: ppermute butterfly in
+    log2(D) steps when D is a power of two, else all_gather + OR.
+    Call inside shard_map.
+    """
+    d = jax.lax.axis_size(axis_name)
+    if d == 1:
+        return x
+    if d & (d - 1) == 0:
+        step = 1
+        while step < d:
+            perm = [(i, i ^ step) for i in range(d)]
+            x = x | jax.lax.ppermute(x, axis_name, perm)
+            step <<= 1
+        return x
+    gathered = jax.lax.all_gather(x, axis_name)  # [D, ...]
+    return jax.lax.reduce_or(gathered, axes=(0,)) if hasattr(jax.lax, "reduce_or") else (
+        functools.reduce(jnp.bitwise_or, [gathered[i] for i in range(d)])
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_sketch_step(mesh, k: int, w: int, chunk: int, bits_log2: int):
+    """Compile the multi-chip sketch+BF step.
+
+    Per device: hash a batch of code tiles, select window minima, insert
+    all canonical k-mer hashes into a local Bloom-filter replica; then
+    OR all-reduce the filter across the mesh.
+
+    Returns a jitted fn(tiles, words) where
+      tiles: uint8 [D*B, chunk + w + k - 2] code tiles, sharded on dim 0
+      words: uint32 [2^bits_log2 / 32] Bloom words, replicated
+    ->
+      argmins: int32 [D*B, chunk] per-window leftmost argmin
+      win_valid: bool [D*B, chunk]
+      words: uint32 OR-combined across all devices
+    """
+
+    def one_tile(tile):
+        h = nthash.hash_tile(tile.astype(jnp.int32), k)
+        valid = h["valid"]
+        key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
+        key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
+        arg = winmin.sliding_argmin(key_hi, key_lo, w)
+        return arg.astype(jnp.int32), valid[arg], h["canon_hi"], h["canon_lo"], valid
+
+    def local_step(tiles, words):
+        args, win_valid, c_hi, c_lo, kvalid = jax.vmap(one_tile)(tiles)
+        local = bloom.insert_words(
+            jnp.zeros_like(words), c_hi.reshape(-1), c_lo.reshape(-1),
+            kvalid.reshape(-1), bits_log2,
+        )
+        return args, win_valid, allreduce_or(words | local)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
+    """Compile the cascade step: probe the previous-level BF for every
+    k-mer of sharded tiles and insert hits into a fresh local level,
+    OR-reduced across the mesh (the multi-chip form of
+    src/ntsynt_make_common_bf.cpp:140-160)."""
+
+    def local_step(tiles, prev_words):
+        def one(tile):
+            h = nthash.hash_tile(tile.astype(jnp.int32), k)
+            present = bloom.bf_probe(prev_words, h["canon_hi"], h["canon_lo"], bits_log2)
+            return h["canon_hi"], h["canon_lo"], h["valid"] & present
+
+        c_hi, c_lo, keep = jax.vmap(one)(tiles)
+        nxt = bloom.insert_words(
+            jnp.zeros((1 << bits_log2) // 32, jnp.uint32),
+            c_hi.reshape(-1), c_lo.reshape(-1), keep.reshape(-1), bits_log2,
+        )
+        return allreduce_or(nxt)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_tiles(stream_codes: np.ndarray, n_tiles: int, chunk: int, k: int, w: int):
+    """Host-side: slice a genome code stream into [n_tiles, NC] tiles
+    covering window ranges [t*chunk, (t+1)*chunk), halo included, padded
+    with N codes."""
+    nc = chunk + w - 1 + k - 1
+    tiles = np.full((n_tiles, nc), 4, dtype=np.uint8)
+    for t in range(n_tiles):
+        seg = stream_codes[t * chunk : t * chunk + nc]
+        tiles[t, : len(seg)] = seg
+    return tiles

@@ -1,0 +1,104 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ntsynt_tpu.ops import nthash, sketch
+from ntsynt_tpu.ops.bloom import NumpyBloomFilter
+from ntsynt_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return pmesh.make_mesh(8)
+
+
+def test_allreduce_or(mesh8):
+    from jax.sharding import PartitionSpec as P
+
+    x = np.zeros((8, 4), dtype=np.uint32)
+    for i in range(8):
+        x[i, i % 4] = 1 << i
+    f = jax.jit(
+        jax.shard_map(
+            lambda v: pmesh.allreduce_or(v[0]),
+            mesh=mesh8,
+            in_specs=P(pmesh.AXIS),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(f(x))
+    want = np.bitwise_or.reduce(x, axis=0)
+    assert (out == want).all()
+
+
+def test_sharded_sketch_matches_host(mesh8):
+    rng = np.random.default_rng(0)
+    k, w, chunk = 24, 50, 1 << 10
+    contig = rng.integers(0, 4, 8 * chunk + w + k).astype(np.uint8)
+    # one stream, 8 tiles
+    tiles = pmesh.make_tiles(contig, 8, chunk, k, w)
+    bits_log2 = 16
+    step = pmesh.sharded_sketch_step(mesh8, k, w, chunk, bits_log2)
+    words = jnp.zeros((1 << bits_log2) // 32, jnp.uint32)
+    args, win_valid, words = step(jnp.asarray(tiles), words)
+    args, win_valid = np.asarray(args), np.asarray(win_valid)
+
+    # selections must match the single-device oracle
+    want = sketch.sketch_contig_np(contig, k, w)
+    got = set()
+    nwin_total = len(contig) - k + 1 - w + 1
+    for t in range(8):
+        for j in range(chunk):
+            if t * chunk + j < nwin_total and win_valid[t, j]:
+                got.add(t * chunk + int(args[t, j]))
+    assert sorted(got) == want.tolist()
+
+    # BF must contain exactly the valid kmers' canonical hashes (mod fpr)
+    canon, _, valid = nthash.hash_sequence_np(contig, k)
+    nbf = NumpyBloomFilter(1 << bits_log2, k)
+    nbf.insert(canon[valid])
+    wgot = np.asarray(words)
+    probe_q = canon[valid][::97]
+    hi = (probe_q >> np.uint64(32)).astype(np.uint32)
+    lo = (probe_q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    from ntsynt_tpu.ops.bloom import bf_probe
+
+    dev_hits = np.asarray(bf_probe(jnp.asarray(wgot), jnp.asarray(hi), jnp.asarray(lo), bits_log2))
+    assert dev_hits.all()  # every inserted kmer must be found
+
+
+def test_multichip_cascade_probe(mesh8):
+    rng = np.random.default_rng(3)
+    k, chunk = 20, 1 << 10
+    g1 = rng.integers(0, 4, 4 * chunk).astype(np.uint8)
+    g2 = g1.copy()
+    g2[::500] = (g2[::500] + 1) % 4  # sparse SNPs
+    bits_log2 = 16
+
+    # level 1: insert all of g1 via the sharded sketch step
+    tiles1 = pmesh.make_tiles(g1, 8, chunk // 2, k, 1)
+    step = pmesh.sharded_sketch_step(mesh8, k, 1, chunk // 2, bits_log2)
+    words = jnp.zeros((1 << bits_log2) // 32, jnp.uint32)
+    _, _, words = step(jnp.asarray(tiles1), words)
+
+    # level 2: cascade with g2
+    casc = pmesh.sharded_common_bf_probe_step(mesh8, k, chunk // 2, bits_log2)
+    tiles2 = pmesh.make_tiles(g2, 8, chunk // 2, k, 1)
+    words2 = casc(jnp.asarray(tiles2), words)
+
+    # common kmers of both genomes must probe positive in level 2
+    canon2, _, valid2 = nthash.hash_sequence_np(g2, k)
+    canon1, _, valid1 = nthash.hash_sequence_np(g1, k)
+    common = np.intersect1d(canon1[valid1], canon2[valid2])
+    hi = (common >> np.uint64(32)).astype(np.uint32)
+    lo = (common & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    from ntsynt_tpu.ops.bloom import bf_probe
+
+    hits = np.asarray(bf_probe(words2, jnp.asarray(hi), jnp.asarray(lo), bits_log2))
+    assert hits.all()

@@ -1,0 +1,91 @@
+"""Analysis + viz sidecar tests on a small synthetic blocks TSV."""
+
+import io
+import os
+
+from ntsynt_tpu.analysis.stats import compute_stats
+from ntsynt_tpu.viz import (
+    sort_blocks,
+    write_chromosome_painting,
+    write_links,
+    write_sequence_lengths,
+)
+
+BLOCKS = """0\ta.fa\tchr1\t0\t50000\t+\t100\tNone
+0\tb.fa\tchr1\t0\t50000\t+\t100\tNone
+1\ta.fa\tchr1\t60000\t90000\t+\t60\tindel
+1\tb.fa\tchr1\t61000\t91000\t-\t60\tindel
+2\ta.fa\tchr2\t0\t5000\t+\t10\tid_change
+2\tb.fa\tchr2\t0\t5000\t+\t10\tid_change
+"""
+
+
+def _write_inputs(tmp_path):
+    tsv = tmp_path / "blocks.tsv"
+    tsv.write_text(BLOCKS)
+    for name, ctgs in [("a.fa", [("chr1", 100000), ("chr2", 6000)]),
+                       ("b.fa", [("chr1", 101000), ("chr2", 6000)])]:
+        with open(tmp_path / f"{name}.fai", "w") as f:
+            for c, ln in ctgs:
+                f.write(f"{c}\t{ln}\t0\t70\t71\n")
+    return str(tsv)
+
+
+def test_stats(tmp_path):
+    tsv = _write_inputs(tmp_path)
+    fais = [str(tmp_path / "a.fa.fai"), str(tmp_path / "b.fa.fai")]
+    s = compute_stats(tsv, fais)
+    assert s["Number_blocks"] == 3
+    assert s["Number_blocks_all_asm"] == 3
+    assert s["Total_length"] == 85000.0
+    # coverage: a: 85000/106000, b: 85000/107000, averaged
+    assert 75 < s["Average_coverage"] < 85
+    # half of ~106kb = 53kb; cum 50000 -> 80000 crosses at the 30kb block
+    assert s["NG50_length"] == 30000
+
+
+def test_sort_blocks(tmp_path):
+    tsv = _write_inputs(tmp_path)
+    lines = sort_blocks(tsv, ["b.fa", "a.fa"])
+    assert lines[0].split("\t")[1] == "b.fa"
+    assert lines[1].split("\t")[1] == "a.fa"
+    assert len(lines) == 6
+
+
+def test_gggenomes_files(tmp_path):
+    tsv = _write_inputs(tmp_path)
+    fais = [str(tmp_path / "a.fa.fai"), str(tmp_path / "b.fa.fai")]
+    seq = write_sequence_lengths(fais, str(tmp_path / "viz"))
+    links = write_links(tsv, str(tmp_path / "viz"), min_length=10000, colour_assembly="a.fa")
+    seq_lines = open(seq).read().strip().split("\n")
+    assert seq_lines[0] == "bin_id\tseq_id\tlength"
+    assert len(seq_lines) == 5  # header + 2 contigs x 2 assemblies
+    link_lines = open(links).read().strip().split("\n")
+    # blocks 0 and 1 pass the 10kb filter; block 2 (5kb) doesn't
+    assert len(link_lines) == 3
+    # inverted block 1 must carry relative strand '-'
+    assert any(l.split("\t")[9] == "-" for l in link_lines[1:])
+
+
+def test_chromosome_painting(tmp_path):
+    tsv = _write_inputs(tmp_path)
+    out = write_chromosome_painting(tsv, "a.fa", str(tmp_path / "paint.tsv"))
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 4  # header + 3 blocks x 1 other assembly
+    # block 1 has opposite strands -> relative ori '-'
+    row1 = [l for l in lines[1:] if l.split("\t")[0] == "1"][0]
+    assert row1.split("\t")[5] == "-"
+
+
+def test_plots(tmp_path):
+    tsv = _write_inputs(tmp_path)
+    fais = [str(tmp_path / "a.fa.fai"), str(tmp_path / "b.fa.fai")]
+    seq = write_sequence_lengths(fais, str(tmp_path / "viz"))
+    links = write_links(tsv, str(tmp_path / "viz"), min_length=1000)
+    paint = write_chromosome_painting(tsv, "a.fa", str(tmp_path / "paint.tsv"))
+    from ntsynt_tpu.viz.plot import painting_plot, ribbon_plot
+
+    p1 = ribbon_plot(seq, links, str(tmp_path / "ribbon.png"))
+    p2 = painting_plot(paint, str(tmp_path / "paint.png"))
+    assert os.path.getsize(p1) > 5000
+    assert os.path.getsize(p2) > 5000
