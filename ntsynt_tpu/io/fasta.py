@@ -68,8 +68,112 @@ class PackedGenome:
         return self.contig_raw(contig_idx)[pos : pos + k].tobytes().decode()
 
 
-def read_fasta(path: str, keep_raw: bool = True) -> PackedGenome:
-    """Parse a FASTA(.gz) file into a PackedGenome."""
+_NATIVE = None
+
+
+def _native_lib():
+    """Load csrc/libfastaio.so (the OpenMP FASTA packer) if built."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+
+    lib_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "csrc",
+        "libfastaio.so",
+    )
+    if not os.path.exists(lib_path):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(lib_path)
+    lib.fastaio_parse.restype = ctypes.c_void_p
+    lib.fastaio_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    for fn in ("fastaio_n_contigs", "fastaio_total", "fastaio_names_len"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in (
+        "fastaio_lengths",
+        "fastaio_offsets",
+        "fastaio_fai_offsets",
+        "fastaio_fai_linebases",
+        "fastaio_fai_linewidth",
+    ):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_int64)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("fastaio_codes", "fastaio_raw"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_uint8)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.fastaio_names.restype = ctypes.POINTER(ctypes.c_char)
+    lib.fastaio_names.argtypes = [ctypes.c_void_p]
+    lib.fastaio_free.restype = None
+    lib.fastaio_free.argtypes = [ctypes.c_void_p]
+    _NATIVE = lib
+    return lib
+
+
+def _read_fasta_native(path: str, keep_raw: bool, lib, threads: int = 0) -> PackedGenome | None:
+    import ctypes
+
+    h = lib.fastaio_parse(path.encode(), threads)
+    if not h:
+        return None
+    try:
+        n = int(lib.fastaio_n_contigs(h))
+        total = int(lib.fastaio_total(h))
+
+        def arr64(fn):
+            ptr = fn(h)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).copy() if n else np.zeros(0, np.int64)
+
+        lengths = arr64(lib.fastaio_lengths)
+        offsets = arr64(lib.fastaio_offsets)
+        fai_off = arr64(lib.fastaio_fai_offsets)
+        fai_lb = arr64(lib.fastaio_fai_linebases)
+        fai_lw = arr64(lib.fastaio_fai_linewidth)
+        names_blob = ctypes.string_at(lib.fastaio_names(h), int(lib.fastaio_names_len(h)))
+        names = names_blob.decode().split("\x00")[:-1]
+        codes = (
+            np.ctypeslib.as_array(lib.fastaio_codes(h), shape=(total,)).copy()
+            if total
+            else np.zeros(0, np.uint8)
+        )
+        raw = (
+            np.ctypeslib.as_array(lib.fastaio_raw(h), shape=(total,)).copy()
+            if (keep_raw and total)
+            else (np.zeros(0, np.uint8) if keep_raw else None)
+        )
+    finally:
+        lib.fastaio_free(h)
+    return PackedGenome(
+        path=path,
+        name=os.path.basename(path),
+        contig_names=names,
+        lengths=lengths.astype(np.int64),
+        offsets=offsets.astype(np.int64),
+        codes=codes,
+        raw=raw,
+        fai_offsets=fai_off.astype(np.int64),
+        fai_linebases=fai_lb.astype(np.int64),
+        fai_linewidth=fai_lw.astype(np.int64),
+    )
+
+
+def read_fasta(path: str, keep_raw: bool = True, native: bool | None = None) -> PackedGenome:
+    """Parse a FASTA(.gz) file into a PackedGenome.
+
+    Plain (non-gzip) files go through the native OpenMP packer when
+    csrc/libfastaio.so is built (native=None auto-detects; native=False
+    forces the pure-Python path used as the portable fallback).
+    """
+    if native is not False and not path.endswith(".gz"):
+        lib = _native_lib()
+        if lib is not None:
+            g = _read_fasta_native(path, keep_raw, lib)
+            if g is not None:
+                return g
+            if native:
+                raise IOError(f"native FASTA parse failed for {path}")
     if path.endswith(".gz"):
         with gzip.open(path, "rb") as fin:
             data = fin.read()
