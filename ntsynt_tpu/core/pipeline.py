@@ -150,28 +150,40 @@ class NtSyntTPU:
         assemblies = {}
         for name, g in genomes.items():
             tsv_path = os.path.join(cfg.out_dir, f"{name}.k{cfg.k}.w{cfg.w}.tsv")
-            with self.timer.stage(f"sketch:{name}"):
-                sk = sketch_ops.sketch_genome(
-                    g,
-                    cfg.k,
-                    cfg.w,
-                    common_bf=common_bf,
-                    repeat_bf=sketch_repeat,
-                    chunk=cfg.chunk,
-                )
-                if cfg.write_artifacts:
-                    recs = []
-                    for ci, cname in enumerate(sk.contig_names):
-                        mask = sk.contig_idx == ci
-                        seqs = [g.kmer_string(ci, int(p), cfg.k) for p in sk.positions[mask]]
-                        recs.append((cname, sk.hashes[mask], sk.positions[mask], seqs))
-                    sketch_tsv.write_sketch_tsv(tsv_path, recs)
+            bf_inputs = [f"{prefix}.common.bf"] if cfg.common and cfg.write_artifacts else []
             rep_filter = None
             if cfg.repeat_filter == "Filter" and repeat_bf is not None:
                 rep_filter = lambda canon, bf=repeat_bf: sketch_ops._probe_np(bf, canon)
-            assemblies[name] = AssemblyMinimizers.from_sketch(
-                sk, genome=g, repeat_canon_filter=rep_filter
-            )
+            if rep_filter is None and self._artifact_fresh(tsv_path, g.path, *bf_inputs):
+                # snakemake-style resume: reuse the sketch artifact
+                log(f"Reusing {tsv_path}")
+                records = sketch_tsv.read_sketch_tsv(tsv_path)
+                assemblies[name] = AssemblyMinimizers.from_tsv_records(
+                    name, records, genome=g
+                )
+            else:
+                with self.timer.stage(f"sketch:{name}"):
+                    sk = sketch_ops.sketch_genome(
+                        g,
+                        cfg.k,
+                        cfg.w,
+                        common_bf=common_bf,
+                        repeat_bf=sketch_repeat,
+                        chunk=cfg.chunk,
+                    )
+                    if cfg.write_artifacts:
+                        recs = []
+                        for ci, cname in enumerate(sk.contig_names):
+                            mask = sk.contig_idx == ci
+                            seqs = [
+                                g.kmer_string(ci, int(p), cfg.k)
+                                for p in sk.positions[mask]
+                            ]
+                            recs.append((cname, sk.hashes[mask], sk.positions[mask], seqs))
+                        sketch_tsv.write_sketch_tsv(tsv_path, recs)
+                assemblies[name] = AssemblyMinimizers.from_sketch(
+                    sk, genome=g, repeat_canon_filter=rep_filter
+                )
             log(f"{name}: {len(assemblies[name].mx_info.sorted_hash)} minimizers kept")
 
         # --- core synteny (rule ntsynt_synteny) -----------------------

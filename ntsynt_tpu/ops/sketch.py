@@ -133,9 +133,13 @@ def _sketch_chunk_fn(k: int, w: int, chunk: int, n_common_log2, n_repeat_log2):
             )
         key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
         key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
-        arg = winmin.sliding_argmin(key_hi, key_lo, w)
-        win_valid = valid[arg]
-        return arg.astype(jnp.int32), win_valid
+        # block-layout outputs: the host flattens with numpy, which is
+        # far cheaper than the (w-1)-lane relayout XLA would need
+        arg, min_hi, min_lo = winmin.sliding_block_argmin(key_hi, key_lo, w)
+        # window is valid iff its min is not the +inf sentinel (avoids a
+        # big valid[arg] gather, which serializes on TPU)
+        win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+        return arg, win_valid
 
     return run
 
@@ -177,13 +181,21 @@ def sketch_genome(
     )
 
     nc_need = chunk + w - 1 + k - 1
+    w_eff = min(w, chunk + w - 1)  # kernel window (w <= n kmers always here)
     for ws in range(0, max(nwin, 0), chunk):
         tile = stream.codes[ws : ws + nc_need]
         if len(tile) < nc_need:
             tile = np.concatenate([tile, np.full(nc_need - len(tile), 4, np.uint8)])
-        arg, win_valid = fn(jnp.asarray(tile), cw, rw)
-        arg = np.asarray(arg)
-        win_valid = np.asarray(win_valid)
+        arg_b, valid_b = fn(jnp.asarray(tile), cw, rw)
+        # block layout [nb, wp] -> flat windows [chunk] on host
+        arg_b = np.asarray(arg_b)
+        valid_b = np.asarray(valid_b)
+        if w_eff > 1:
+            arg = arg_b[:, :w_eff].reshape(-1)[:chunk]
+            win_valid = valid_b[:, :w_eff].reshape(-1)[:chunk]
+        else:
+            arg = arg_b.reshape(-1)[:chunk]
+            win_valid = valid_b.reshape(-1)[:chunk]
         lg = legit[ws : ws + chunk]
         if len(lg) < chunk:
             lg = np.concatenate([lg, np.zeros(chunk - len(lg), bool)])

@@ -84,8 +84,9 @@ def sharded_sketch_step(mesh, k: int, w: int, chunk: int, bits_log2: int):
         valid = h["valid"]
         key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
         key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
-        arg = winmin.sliding_argmin(key_hi, key_lo, w)
-        return arg.astype(jnp.int32), valid[arg], h["canon_hi"], h["canon_lo"], valid
+        arg, min_hi, min_lo = winmin.sliding_argmin_val(key_hi, key_lo, w)
+        win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+        return arg.astype(jnp.int32), win_valid, h["canon_hi"], h["canon_lo"], valid
 
     def local_step(tiles, words):
         args, win_valid, c_hi, c_lo, kvalid = jax.vmap(one_tile)(tiles)

@@ -216,3 +216,24 @@ def test_dry_run_and_artifacts(tmp_path, base_genome):
     fin = open(out).readline()
     assert len(pre.split("\t")) == 7
     assert len(fin.split("\t")) == 8
+
+
+def test_sketch_artifact_reuse(tmp_path, base_genome):
+    """snakemake-style resume: existing sketch TSVs are reused and give
+    identical final blocks."""
+    fa = write_fasta(tmp_path / "r1.fa", [("chr1", base_genome)])
+    fb = write_fasta(tmp_path / "r2.fa", [("chr1", base_genome)])
+    cfg = _cfg([str(fa), str(fb)], tmp_path, prefix="resume")
+    out1 = NtSyntTPU(cfg).run()
+    first = open(out1, "rb").read()
+    # second run must reuse the sketch TSVs (and produce identical output)
+    import time as _time
+
+    _time.sleep(0.05)
+    cfg2 = _cfg([str(fa), str(fb)], tmp_path, prefix="resume")
+    t = NtSyntTPU(cfg2)
+    out2 = t.run()
+    assert open(out2, "rb").read() == first
+    assert not any(s.startswith("sketch:") for s in t.timer.stages), (
+        "sketches were recomputed instead of reused"
+    )
