@@ -152,6 +152,7 @@ def sketch_genome(
     repeat_bf=None,
     chunk: int = DEFAULT_CHUNK,
     codes: np.ndarray | None = None,
+    engine: str | None = None,
 ) -> GenomeSketch:
     """Compute the (k, w) minimizer sketch of a genome.
 
@@ -164,12 +165,67 @@ def sketch_genome(
       chunk: windows per device call (static shape).
       codes: optional override of genome.codes (used by refinement
         rounds to sketch a masked copy without duplicating the genome).
+      engine: 'device' (HBM-resident stream + on-device compaction —
+        default on TPU), 'chunk' (per-chunk host loop — default
+        elsewhere), or None for auto.
     """
     stream = _Stream(genome, k, w, codes=codes)
     legit = stream.legit_windows()
     nwin = len(legit)
-    sel_stream = []
 
+    if engine is None:
+        engine = "device" if jax.default_backend() == "tpu" else "chunk"
+
+    if engine == "device" and nwin > 0:
+        from .sketch_device import DeviceSketcher
+
+        ds = DeviceSketcher(
+            k, w, seg_windows=chunk, common_bf=common_bf, repeat_bf=repeat_bf
+        )
+        sel = ds.sketch_stream(stream.codes, legit)
+    else:
+        sel = _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf)
+
+    cidx, cpos = stream.to_contig_pos(sel)
+
+
+    # short-contig fallback (one window over all k-mers), host-side
+    extra_ci, extra_pos = [], []
+    for i in stream.short_contigs():
+        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
+        ccodes = (genome.codes if codes is None else codes)[o : o + ln]
+        canon, out, valid = nthash.hash_sequence_np(ccodes, k)
+        if common_bf is not None:
+            valid = valid & _probe_np(common_bf, canon)
+        if repeat_bf is not None:
+            valid = valid & ~_probe_np(repeat_bf, canon)
+        if valid.any():
+            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            extra_ci.append(i)
+            extra_pos.append(int(np.argmin(keys)))
+    if extra_ci:
+        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
+        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
+        order = np.lexsort((cpos, cidx))
+        cidx, cpos = cidx[order], cpos[order]
+
+    canon, hashes = _hash_at_positions(genome, k, cidx, cpos, codes=codes)
+    return GenomeSketch(
+        name=genome.name,
+        k=k,
+        w=w,
+        contig_names=list(genome.contig_names),
+        contig_idx=cidx,
+        positions=cpos,
+        hashes=hashes,
+        canon=canon,
+    )
+
+
+def _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf):
+    """Per-chunk host-loop sketching (CPU default / fallback path)."""
+    nwin = len(legit)
+    sel_stream = []
     cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
     rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
     fn = _sketch_chunk_fn(
@@ -204,43 +260,8 @@ def sketch_genome(
             sel_stream.append(np.unique(arg[keep]).astype(np.int64) + ws)
 
     if sel_stream:
-        sel = np.unique(np.concatenate(sel_stream))
-    else:
-        sel = np.zeros(0, dtype=np.int64)
-
-    cidx, cpos = stream.to_contig_pos(sel)
-
-    # short-contig fallback (one window over all k-mers), host-side
-    extra_ci, extra_pos = [], []
-    for i in stream.short_contigs():
-        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
-        ccodes = (genome.codes if codes is None else codes)[o : o + ln]
-        canon, out, valid = nthash.hash_sequence_np(ccodes, k)
-        if common_bf is not None:
-            valid = valid & _probe_np(common_bf, canon)
-        if repeat_bf is not None:
-            valid = valid & ~_probe_np(repeat_bf, canon)
-        if valid.any():
-            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
-            extra_ci.append(i)
-            extra_pos.append(int(np.argmin(keys)))
-    if extra_ci:
-        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
-        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
-        order = np.lexsort((cpos, cidx))
-        cidx, cpos = cidx[order], cpos[order]
-
-    canon, hashes = _hash_at_positions(genome, k, cidx, cpos, codes=codes)
-    return GenomeSketch(
-        name=genome.name,
-        k=k,
-        w=w,
-        contig_names=list(genome.contig_names),
-        contig_idx=cidx,
-        positions=cpos,
-        hashes=hashes,
-        canon=canon,
-    )
+        return np.unique(np.concatenate(sel_stream))
+    return np.zeros(0, dtype=np.int64)
 
 
 def _probe_np(bf, canon: np.ndarray) -> np.ndarray:

@@ -1,0 +1,371 @@
+"""Device-resident genome sketching with on-device output compaction.
+
+The chunked host-loop path (ops/sketch.py) downloads one argmin per
+window — megabytes per chunk across an interconnect whose per-dispatch
+and transfer overheads dwarf the actual VPU time. This module keeps the
+whole code stream resident in HBM and makes each dispatch return only
+the *selected minimizers*:
+
+  1. codes stay in one device buffer; each dispatch dynamic-slices its
+     segment (no per-chunk host->device copies),
+  2. hashing + block-layout window argmin as usual (ops/nthash,
+     ops/winmin),
+  3. selection flags = run starts of the per-window argmin sequence
+     (argmin is monotone in the window index, so each selected position
+     is exactly one run), computed with block-space shifts,
+  4. a Pallas kernel compacts each block row's flagged (position,
+     window) pairs into `cap` slots using a one-hot MXU matmul —
+     stream compaction without any gather/scatter (XLA TPU
+     gathers/scatters serialize at ~60M elem/s),
+  5. the host receives [rows, cap] + counts (~0.1 byte/base), maps
+     positions back through contig tables, and handles the rare row
+     whose selections overflow `cap` by recomputing that row exactly.
+
+The per-row capacity bounds selections for w >= 128 at cap
+(default 16); rows with more (dense repeats) fall back to the host
+oracle. For w < 128 a block row has at most w windows, so cap = wp
+covers every case with zero fallback.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bloom, nthash, winmin
+from ..utils import log
+
+ROW_TILE = 8
+SEG_WINDOWS_DEFAULT = 1 << 22
+
+
+CAP = 128  # selection capacity per tile of ROW_TILE block rows
+
+
+def _compact_kernel(w: int, wp: int):
+    """Per grid cell: one tile of 8 block rows. The tile's flagged lanes
+    (row-major order) compact into CAP slots via a tile-wide prefix sum
+    + accumulated one-hot MXU matmuls [CAP, wp] @ [wp, 2] producing
+    (position, window) pairs."""
+
+    def kernel(flag_ref, val_ref, vals_ref, wins_ref, cnt_ref):
+        f = flag_ref[:]  # [8, wp] int32 0/1 (garbage lanes pre-zeroed)
+        val = val_ref[:]  # [8, wp] int32 argmin positions
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, wp), 1)
+        # within-row inclusive prefix sum (log2(wp) lane rolls)
+        ps = f
+        s = 1
+        while s < wp:
+            sh = pltpu.roll(ps, s, 1)
+            ps = ps + jnp.where(lane < s, 0, sh)
+            s <<= 1
+        # row offsets: exclusive cumsum of row totals over sublanes
+        totals = jnp.broadcast_to(ps[:, wp - 1 : wp], (ROW_TILE, wp))
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, wp), 0)
+        inc = totals
+        s = 1
+        while s < ROW_TILE:
+            sh = pltpu.roll(inc, s, 0)
+            inc = inc + jnp.where(rowi >= s, sh, 0)
+            s <<= 1
+        ro = inc - totals  # exclusive
+        slot = ps - f + ro
+        tile = pl.program_id(0)
+        # tpu.iota is integer-only; cast afterwards
+        cap_iota = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 0).astype(jnp.float32)
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 1).astype(jnp.float32)
+        out = jnp.zeros((CAP, 2), jnp.float32)
+        for r in range(ROW_TILE):
+            slot_r = jnp.broadcast_to(slot[r : r + 1].astype(jnp.float32), (CAP, wp))
+            f_r = jnp.broadcast_to(f[r : r + 1].astype(jnp.float32), (CAP, wp))
+            oh = jnp.where((slot_r == cap_iota) & (f_r > 0), 1.0, 0.0)
+            row_base = (tile * ROW_TILE + r) * w
+            x = jnp.stack(
+                [val[r].astype(jnp.float32), lane_f[0] + jnp.float32(row_base)],
+                axis=1,
+            )  # [wp, 2]
+            # HIGHEST precision: the MXU's default bf16 passes round
+            # integer payloads > 2^8 (observed on hardware)
+            out = out + jnp.dot(
+                oh,
+                x,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        vals_ref[0, 0, :] = out[:, 0]
+        wins_ref[0, 0, :] = out[:, 1]
+        cnt_ref[0, 0, :] = jnp.broadcast_to(
+            inc[ROW_TILE - 1 : ROW_TILE, :1].astype(jnp.float32), (1, 128)
+        ).reshape(128)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_call(nb: int, w: int, wp: int, interpret: bool):
+    in_spec = pl.BlockSpec((ROW_TILE, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # 3D outputs [n_tiles, 1, 128]: block (1, 1, 128) satisfies the
+    # last-two-dims tiling rule (middle dim equals the array dim)
+    out_spec = pl.BlockSpec((1, 1, CAP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    n_tiles = nb // ROW_TILE
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _compact_kernel(w, wp),
+        grid=(n_tiles,),
+        in_specs=[in_spec, in_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def compact_rows(flag, val, w: int, interpret: bool = False):
+    """Tile-wise stream compaction of flagged argmin values.
+
+    Args:
+      flag: int32 [nb, wp], 1 where a selected run starts (garbage lanes
+        must be 0).
+      val: int32 [nb, wp] argmin positions.
+    Returns (vals f32 [T, CAP], wins f32 [T, CAP], counts f32 [T]) with
+    T = ceil(nb / 8) tiles of 8 block rows (8*w windows each).
+    """
+    nb, wp = flag.shape
+    pad = (-nb) % ROW_TILE
+    if pad:
+        flag = jnp.pad(flag, ((0, pad), (0, 0)))
+        val = jnp.pad(val, ((0, pad), (0, 0)))
+    vals, wins, cnt = _compact_call(nb + pad, w, wp, interpret)(flag, val)
+    return vals[:, 0, :], wins[:, 0, :], cnt[:, 0, 0]
+
+
+def _n_tiles(seg: int, w: int) -> int:
+    nk = seg + w - 1
+    nb = -(-nk // w)
+    return -(-nb // ROW_TILE)
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2, n_repeat_log2, interpret: bool):
+    """Whole-stream sketcher: ONE dispatch runs a fori_loop over up to
+    segs_cap segments (dispatch + transfer round-trips through the
+    device tunnel cost ~100 ms each; 24 per genome dominated the wall
+    clock before this)."""
+    seg_fn = _segment_fn(k, w, seg, n_common_log2, n_repeat_log2, interpret)
+    tiles = _n_tiles(seg, w)
+
+    @jax.jit
+    def run(codes_buf, n_segs, common_words, repeat_words):
+        def body(i, acc):
+            vals_acc, wins_acc, cnt_acc = acc
+            vals, wins, cnt = seg_fn(codes_buf, i * seg, common_words, repeat_words)
+            vals_acc = jax.lax.dynamic_update_slice(vals_acc, vals[None], (i, 0, 0))
+            wins_acc = jax.lax.dynamic_update_slice(wins_acc, wins[None], (i, 0, 0))
+            cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, cnt[None], (i, 0))
+            return vals_acc, wins_acc, cnt_acc
+
+        init = (
+            jnp.zeros((segs_cap, tiles, CAP), jnp.float32),
+            jnp.zeros((segs_cap, tiles, CAP), jnp.float32),
+            jnp.zeros((segs_cap, tiles), jnp.float32),
+        )
+        return jax.lax.fori_loop(0, n_segs, body, init)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _segment_fn(k: int, w: int, seg: int, n_common_log2, n_repeat_log2, interpret: bool):
+    """Per-segment sketcher: device codes buffer -> compacted selected
+    minimizer positions (traceable; also jittable standalone)."""
+    nk = seg + w - 1
+    nc = nk + k - 1
+
+    def run(codes_buf, offset, common_words, repeat_words):
+        codes = jax.lax.dynamic_slice(codes_buf, (offset,), (nc,))
+        use_pallas = winmin._use_pallas() or interpret
+        want_canon = n_common_log2 is not None or n_repeat_log2 is not None
+        if use_pallas:
+            from . import nthash_pallas
+
+            res = nthash_pallas.hash_keys(
+                codes, k, nk, want_canon=want_canon, interpret=interpret
+            )
+            key_hi, key_lo = res[0], res[1]
+            if want_canon:
+                canon_hi, canon_lo = res[2], res[3]
+        else:
+            h = nthash.hash_tile(codes, k)
+            valid0 = h["valid"]
+            key_hi = jnp.where(valid0, h["out_hi"], winmin.UMAX)
+            key_lo = jnp.where(valid0, h["out_lo"], winmin.UMAX)
+            canon_hi, canon_lo = h["canon_hi"], h["canon_lo"]
+        if want_canon:
+            keep = jnp.ones(nk, dtype=bool)
+            if n_common_log2 is not None:
+                keep = keep & bloom.bf_probe(
+                    common_words, canon_hi, canon_lo, n_common_log2
+                )
+            if n_repeat_log2 is not None:
+                keep = keep & ~bloom.bf_probe(
+                    repeat_words, canon_hi, canon_lo, n_repeat_log2
+                )
+            key_hi = jnp.where(keep, key_hi, winmin.UMAX)
+            key_lo = jnp.where(keep, key_lo, winmin.UMAX)
+        arg, min_hi, min_lo = winmin.sliding_block_argmin(key_hi, key_lo, w)
+        nb, wp = arg.shape
+        win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 0)
+        j = row * w + lane
+        live = (lane < w) & (j < seg) & win_valid
+
+        # run starts: argmin differs from the previous flat window's
+        prev = jnp.concatenate(
+            [jnp.full((nb, 1), -1, arg.dtype), arg[:, :-1]], axis=1
+        )
+        row_up = jnp.concatenate(
+            [jnp.full((1, wp), -1, arg.dtype), arg[:-1]], axis=0
+        )
+        # previous of lane 0 is the previous row's lane w-1
+        prev = jnp.where(lane == 0, row_up[:, w - 1 : w], prev)
+        flag = (live & (arg != prev)).astype(jnp.int32)
+        return compact_rows(flag, arg, w, interpret=interpret)
+
+    return run
+
+
+class DeviceSketcher:
+    """Whole-stream sketching with the genome resident in HBM."""
+
+    def __init__(self, k: int, w: int, seg_windows: int = SEG_WINDOWS_DEFAULT,
+                 common_bf=None, repeat_bf=None, interpret: bool = False):
+        self.k, self.w = k, w
+        self.seg = seg_windows
+        self.common_bf = common_bf
+        self.repeat_bf = repeat_bf
+        self.interpret = interpret
+        self._bits = (
+            None if common_bf is None else common_bf.bits_log2,
+            None if repeat_bf is None else repeat_bf.bits_log2,
+        )
+
+    def sketch_stream(self, stream_codes: np.ndarray, legit: np.ndarray) -> np.ndarray:
+        """Return sorted unique selected k-mer stream positions.
+
+        Args:
+          stream_codes: uint8 [L] code stream (contigs + separators).
+          legit: bool [n_windows] legit-window mask (host-built).
+        """
+        k, w, seg = self.k, self.w, self.seg
+        nwin = len(legit)
+        if nwin <= 0:
+            return np.zeros(0, np.int64)
+        nc_need = seg + w - 1 + k - 1
+        total_pad = (-(len(stream_codes) - (w + k - 2)) % seg) + nc_need
+        buf = np.full(len(stream_codes) + total_pad, 4, dtype=np.uint8)
+        buf[: len(stream_codes)] = stream_codes
+        dbuf = jax.device_put(jnp.asarray(buf))
+        cw = jnp.zeros(1, jnp.uint32) if self.common_bf is None else self.common_bf.words
+        rw = jnp.zeros(1, jnp.uint32) if self.repeat_bf is None else self.repeat_bf.words
+
+        # one dispatch for the whole stream (fori_loop over segments),
+        # one batched transfer back
+        starts = list(range(0, nwin, seg))
+        n_segs = len(starts)
+        segs_cap = 1 << max(n_segs - 1, 1).bit_length()  # pow2 roundup
+        fn = _stream_fn(
+            self.k, self.w, seg, segs_cap, self._bits[0], self._bits[1], self.interpret
+        )
+        out = fn(dbuf, jnp.int32(n_segs), cw, rw)
+        all_vals, all_wins, all_cnt = jax.device_get(out)
+        selected = []
+        for si, ws in enumerate(starts):
+            vals = all_vals[si]
+            wins = all_wins[si]
+            cnt = all_cnt[si].astype(np.int64)
+            cap = vals.shape[1]
+            over = cnt > cap
+            n_slots = np.minimum(cnt, cap)
+            # mask valid slots: slot index < count
+            slot_ok = np.arange(cap)[None, :] < n_slots[:, None]
+            v = vals[slot_ok].astype(np.int64)
+            j = wins[slot_ok].astype(np.int64)
+            keep = legit[np.minimum(j + ws, nwin - 1)] & (j + ws < nwin)
+            selected.append(v[keep] + ws)
+            if over.any():
+                selected.append(
+                    self._overflow_tiles(stream_codes, legit, ws, np.where(over)[0])
+                )
+        # A selection run that starts in an ILLEGIT window (the partial
+        # windows preceding a contig's first full window) and extends
+        # into legit territory is only flagged at its illegit start, so
+        # the device path would drop it. The affected value is exactly
+        # the argmin of each contig's FIRST legit window — recompute
+        # those on the host (n_contigs * w k-mers, negligible).
+        first_legit = np.where(legit & ~np.concatenate([[False], legit[:-1]]))[0]
+        if len(first_legit):
+            selected.append(self._first_window_argmins(stream_codes, first_legit))
+        if not selected:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(selected))
+
+    def _first_window_argmins(self, stream_codes, window_starts) -> np.ndarray:
+        from . import sketch as sketch_host
+
+        k, w = self.k, self.w
+        out = []
+        for j0 in window_starts:
+            codes = stream_codes[j0 : j0 + w + k - 1]
+            canon, outh, valid = nthash.hash_sequence_np(codes, k)
+            if self.common_bf is not None and valid.any():
+                valid &= sketch_host._probe_np(self.common_bf, canon)
+            if self.repeat_bf is not None and valid.any():
+                valid &= ~sketch_host._probe_np(self.repeat_bf, canon)
+            if not valid.any():
+                continue
+            keys = np.where(valid, outh, np.uint64(0xFFFFFFFFFFFFFFFF))
+            a = int(np.argmin(keys))
+            if valid[a]:
+                out.append(int(j0) + a)
+        return np.asarray(out, dtype=np.int64)
+
+    def _overflow_tiles(self, stream_codes, legit, ws: int, tiles: np.ndarray) -> np.ndarray:
+        """Host-exact recompute of compaction tiles (8 block rows = 8*w
+        windows) whose selections overflowed CAP (dense repeats; rare)."""
+        from . import sketch as sketch_host
+
+        k, w = self.k, self.w
+        span = ROW_TILE * w
+        nwin = len(legit)
+        out = []
+        for r in tiles:
+            j0 = ws + int(r) * span
+            j1 = min(j0 + span, ws + self.seg, nwin)
+            if j0 >= j1:
+                continue
+            # windows [j0, j1) need kmers [j0, j1 - 1 + w) -> codes + k - 1
+            lo = j0
+            hi = j1 - 1 + w + k - 1
+            codes = stream_codes[lo:hi]
+            canon, outh, valid = nthash.hash_sequence_np(codes, k)
+            if self.common_bf is not None:
+                valid &= sketch_host._probe_np(self.common_bf, canon)
+            if self.repeat_bf is not None:
+                valid &= ~sketch_host._probe_np(self.repeat_bf, canon)
+            keys = np.where(valid, outh, np.uint64(0xFFFFFFFFFFFFFFFF))
+            for j in range(j0, j1):
+                if not legit[j]:
+                    continue
+                win = keys[j - lo : j - lo + w]
+                a = int(np.argmin(win))
+                if valid[j - lo + a]:
+                    out.append(j + a)  # global stream position of the kmer
+        return np.asarray(sorted(set(out)), dtype=np.int64)

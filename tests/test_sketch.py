@@ -114,3 +114,91 @@ def test_empty_and_tiny_genome():
     g = _genome_from_contigs([np.array([0, 1, 2], np.uint8)])
     s = sketch.sketch_genome(g, 24, 100, chunk=1 << 10)
     assert s.n_minimizers == 0
+
+
+def test_device_engine_matches_chunk():
+    """The HBM-resident device pipeline (with interpreted Pallas
+    compaction on CPU) must select the same minimizers as the chunked
+    path / oracle."""
+    import functools
+    from ntsynt_tpu.ops import sketch_device, winmin
+
+    rng = np.random.default_rng(21)
+    k = 24
+    contigs = [_rand_contig(rng, 9000, n_prob=0.002), _rand_contig(rng, 4000)]
+    g = _genome_from_contigs(contigs)
+
+    orig_scan = None
+    try:
+        # force pallas-interpret for both scan and compaction kernels
+        winmin._use_pallas = lambda: True
+        from ntsynt_tpu.ops import winmin_pallas
+
+        orig_scan = winmin_pallas.block_scans_pallas
+        winmin_pallas.block_scans_pallas = functools.partial(orig_scan, interpret=True)
+        for w in (40, 150):
+            ds = sketch_device.DeviceSketcher(k, w, seg_windows=1 << 11, interpret=True)
+            stream = sketch.sketch._Stream(g, k, w) if False else None
+            from ntsynt_tpu.ops.sketch import _Stream
+
+            st = _Stream(g, k, w)
+            sel = ds.sketch_stream(st.codes, st.legit_windows())
+            cidx, cpos = st.to_contig_pos(sel)
+            for ci, contig in enumerate(contigs):
+                got = cpos[cidx == ci]
+                want = sketch.sketch_contig_np(contig, k, w)
+                assert (got == want).all(), (w, ci)
+    finally:
+        winmin._use_pallas = lambda: False
+        if orig_scan is not None:
+            from ntsynt_tpu.ops import winmin_pallas
+
+            winmin_pallas.block_scans_pallas = orig_scan
+
+
+def test_device_engine_overflow_fallback():
+    """Rows whose selection count exceeds the device capacity must be
+    recomputed exactly on the host (dense-repeat stress: w>=128 cap=16)."""
+    import functools
+    from ntsynt_tpu.ops import sketch_device, winmin
+    from ntsynt_tpu.ops.bloom import DeviceBloomFilter
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    k, w = 24, 150
+    contig = _rand_contig(rng, 4000)
+    g = _genome_from_contigs([contig])
+    # a common-BF that keeps only ~2% of kmers makes window minima
+    # change nearly every window in some rows -> overflow pressure
+    from ntsynt_tpu.ops import nthash
+
+    canon, _, valid = nthash.hash_sequence_np(contig, k)
+    keep = canon[valid][::50]
+    nbf_dev = DeviceBloomFilter(1 << 16, k)
+    hi = (keep >> np.uint64(32)).astype(np.uint32)
+    lo = (keep & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nbf_dev.insert(jnp.asarray(hi), jnp.asarray(lo))
+    from ntsynt_tpu.ops.bloom import NumpyBloomFilter
+
+    nbf = NumpyBloomFilter(1 << 16, k)
+    nbf.insert(keep)
+
+    from ntsynt_tpu.ops import winmin_pallas
+
+    orig_scan = winmin_pallas.block_scans_pallas
+    try:
+        winmin._use_pallas = lambda: True
+        winmin_pallas.block_scans_pallas = functools.partial(orig_scan, interpret=True)
+        ds = sketch_device.DeviceSketcher(
+            k, w, seg_windows=1 << 11, common_bf=nbf_dev, interpret=True
+        )
+        from ntsynt_tpu.ops.sketch import _Stream
+
+        st = _Stream(g, k, w)
+        sel = ds.sketch_stream(st.codes, st.legit_windows())
+        cidx, cpos = st.to_contig_pos(sel)
+        want = sketch.sketch_contig_np(contig, k, w, common=nbf)
+        assert (cpos == want).all()
+    finally:
+        winmin._use_pallas = lambda: False
+        winmin_pallas.block_scans_pallas = orig_scan
