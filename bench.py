@@ -45,16 +45,20 @@ def make_genomes(tmp):
     mut[snp] = (mut[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
     s, e = 40_000_000, 40_050_000
     mut[s:e] = mut[s:e][::-1] ^ 3  # 50 kb inversion
-    dec = np.array(list("ACGT"))
+    dec = np.frombuffer(b"ACGT", dtype=np.uint8)
     paths = []
+    step = 80
     for name, g in [("benchA.fa", base), ("benchB.fa", mut)]:
         p = os.path.join(tmp, name)
-        with open(p, "w") as f:
-            f.write(">chr1\n")
-            s_ = "".join(dec[g])
-            step = 80
-            f.write("\n".join(s_[i : i + step] for i in range(0, len(s_), step)))
-            f.write("\n")
+        raw = dec[g]
+        pad = (-len(raw)) % step
+        rows = np.full((len(raw) + pad) // step, step + 1, dtype=np.int64)
+        body = np.full(((len(raw) + pad) // step, step + 1), ord("\n"), dtype=np.uint8)
+        body[:, :step] = np.concatenate([raw, np.full(pad, ord("A"), np.uint8)]).reshape(-1, step)
+        with open(p, "wb") as f:
+            f.write(b">chr1\n")
+            f.write(body.tobytes())
+        del rows
         paths.append(p)
     return paths
 

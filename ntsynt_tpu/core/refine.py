@@ -138,17 +138,21 @@ def filter_new_minimizer_lists(per_ctg_lists, black_list, intervals_for_asm, con
         else:
             in_block = np.zeros(len(hashes), dtype=bool)
 
-        cur = []
-        prev_pos = None
-        for i in range(len(hashes)):
-            p = int(pos[i])
-            if cur and iv is not None:
-                lo, hi = (prev_pos, p) if prev_pos <= p else (p, prev_pos)
-                if iv.has_overlap(lo, hi):
-                    segments.append(np.asarray(cur, dtype=np.uint64))
-                    cur = []
-            if not in_black[i] and not in_block[i]:
-                cur.append(int(hashes[i]))
-                prev_pos = p
-        segments.append(np.asarray(cur, dtype=np.uint64))
+        keep = ~in_black & ~in_block
+        kept_h = hashes[keep]
+        kept_p = pos[keep]
+        if iv is None or len(kept_h) < 2:
+            segments.append(kept_h.astype(np.uint64))
+            continue
+        # Positions within a contig list are ascending, so the reference's
+        # per-minimizer walk (which checks every minimizer — kept or
+        # dropped — against the last KEPT one and splits on the first
+        # overlap) reduces to: split between consecutive kept minimizers
+        # (A, B) iff [A.pos, B.pos) overlaps a block interior. Any
+        # triggering sub-interval [A.pos, M.pos) is contained in it, so
+        # the outcomes coincide exactly.
+        split_after = iv.has_overlap_vec(kept_p[:-1], kept_p[1:])
+        bounds = np.where(split_after)[0] + 1
+        for seg in np.split(kept_h, bounds):
+            segments.append(seg.astype(np.uint64))
     return segments

@@ -238,6 +238,8 @@ class SyntenyDetector:
         mask_ivs = rf.synteny_mask_intervals(blocks, n_asm, prev_w, p.k)
         terminal, internal, intervals = rf.find_mx_in_blocks(blocks, self.files)
 
+        import time as _time
+
         segments_per_asm = {}
         new_info = {}
         for a, key in enumerate(self.files):
@@ -247,6 +249,7 @@ class SyntenyDetector:
                     f"assembly {key} has no genome attached; refinement "
                     "rounds need the sequences to re-sketch"
                 )
+            t0 = _time.perf_counter()
             masked = rf.apply_mask(asm.genome, mask_ivs[a])
             sk = sketch_ops.sketch_genome(
                 asm.genome,
@@ -257,6 +260,7 @@ class SyntenyDetector:
                 chunk=p.chunk,
                 codes=masked,
             )
+            t_sketch = _time.perf_counter() - t0
             # read_minimizers semantics: drop within-assembly duplicates
             tmp = AssemblyMinimizers.from_sketch(sk, genome=asm.genome)
             per_ctg = []
@@ -275,6 +279,12 @@ class SyntenyDetector:
                 per_ctg, internal, asm_intervals, ctg_of_list
             )
             new_info[key] = tmp.mx_info
+            log(
+                f"  {key}: re-sketch {t_sketch:.1f}s, "
+                f"filter {_time.perf_counter() - t0 - t_sketch:.1f}s, "
+                f"{sk.n_minimizers} new mx",
+                dev_only=True,
+            )
 
         segments_per_asm = filter_segments_common(segments_per_asm)
 

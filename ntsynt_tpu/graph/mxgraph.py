@@ -115,54 +115,74 @@ class MinimizerGraph:
             adjacent in refinement lists because interior minimizers are
             filtered out) don't get a spurious chord.
         """
-        hash_to_idx = {}
-        node_hashes = []
-        edge_pos = {}
-        eu, ev, ew = [], [], []
-        if seed is not None:
-            node_hashes = [int(h) for h in seed.node_hash]
-            hash_to_idx = {h: i for i, h in enumerate(node_hashes)}
-            for i in range(seed.n_edges):
-                u, v, wt = int(seed.eu[i]), int(seed.ev[i]), int(seed.weight[i])
-                key = (u, v) if u <= v else (v, u)
-                edge_pos[key] = len(eu)
-                eu.append(u)
-                ev.append(v)
-                ew.append(wt)
-        bl = set(map(int, black_list)) if black_list is not None else None
+        # ---- nodes: first-appearance order over [seed nodes] + lists --
+        hash_parts = [seed.node_hash] if seed is not None else []
+        list_cat = []
+        for _, mx_lists in adjacency_lists:
+            for mx_list in mx_lists:
+                list_cat.append(np.asarray(mx_list, dtype=np.uint64))
+        all_hashes = np.concatenate(hash_parts + list_cat) if (hash_parts or list_cat) else np.zeros(0, np.uint64)
+        uniq, first_idx = np.unique(all_hashes, return_index=True)
+        appear = np.argsort(first_idx, kind="stable")
+        node_hash = uniq[appear]
+        # hash -> node index lookup (sorted table + permutation)
+        rank_of_sorted = np.empty(len(uniq), dtype=np.int64)
+        rank_of_sorted[appear] = np.arange(len(uniq))
 
+        def to_idx(hs):
+            return rank_of_sorted[np.searchsorted(uniq, hs)]
+
+        # ---- adjacency pair occurrences, in insertion order ----------
+        occ_u, occ_v, occ_w = [], [], []
+        if seed is not None and seed.n_edges:
+            occ_u.append(to_idx(seed.node_hash[seed.eu]))
+            occ_v.append(to_idx(seed.node_hash[seed.ev]))
+            occ_w.append(seed.weight.astype(np.int64))
+        bl_sorted = (
+            np.unique(np.asarray(black_list, dtype=np.uint64))
+            if black_list is not None
+            else None
+        )
+
+        def in_bl(hs):
+            if bl_sorted is None or len(bl_sorted) == 0:
+                return np.zeros(len(hs), dtype=bool)
+            loc = np.minimum(np.searchsorted(bl_sorted, hs), len(bl_sorted) - 1)
+            return bl_sorted[loc] == hs
+
+        pos = 0
         for asm_key, mx_lists in adjacency_lists:
             wt = weights[asm_key]
             for mx_list in mx_lists:
-                prev_i = prev_h = None
-                for h in np.asarray(mx_list, dtype=np.uint64):
-                    h = int(h)
-                    i = hash_to_idx.get(h)
-                    if i is None:
-                        i = len(node_hashes)
-                        hash_to_idx[h] = i
-                        node_hashes.append(h)
-                    if prev_i is not None:
-                        if bl is not None and prev_h in bl and h in bl:
-                            pass  # suppressed terminal-terminal edge
-                        else:
-                            key = (prev_i, i) if prev_i <= i else (i, prev_i)
-                            p = edge_pos.get(key)
-                            if p is None:
-                                edge_pos[key] = len(eu)
-                                eu.append(prev_i)
-                                ev.append(i)
-                                ew.append(wt)
-                            else:
-                                ew[p] += wt
-                    prev_i, prev_h = i, h
+                arr = list_cat[pos]
+                pos += 1
+                if len(arr) < 2:
+                    continue
+                iu = to_idx(arr[:-1])
+                iv = to_idx(arr[1:])
+                keep = np.ones(len(iu), dtype=bool)
+                if bl_sorted is not None:
+                    keep = ~(in_bl(arr[:-1]) & in_bl(arr[1:]))
+                occ_u.append(iu[keep])
+                occ_v.append(iv[keep])
+                occ_w.append(np.full(int(keep.sum()), wt, dtype=np.int64))
 
-        return cls(
-            np.asarray(node_hashes, dtype=np.uint64),
-            np.asarray(eu, dtype=np.int64),
-            np.asarray(ev, dtype=np.int64),
-            np.asarray(ew, dtype=np.int64),
-        )
+        if not occ_u:
+            return cls(node_hash, *(np.zeros(0, np.int64) for _ in range(3)))
+        u = np.concatenate(occ_u)
+        v = np.concatenate(occ_v)
+        wts = np.concatenate(occ_w)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        key = lo * np.int64(len(node_hash)) + hi
+        ukey, kfirst, kinv = np.unique(key, return_index=True, return_inverse=True)
+        worder = np.argsort(kfirst, kind="stable")  # first-seen edge order
+        wsum = np.bincount(kinv, weights=wts).astype(np.int64)
+        # endpoints in their first-seen orientation
+        eu = u[kfirst][worder]
+        ev = v[kfirst][worder]
+        ew = wsum[worder]
+        return cls(node_hash, eu.astype(np.int64), ev.astype(np.int64), ew)
 
     # ------------------------------------------------------------------
     # mutation (functional: return new graph)

@@ -10,13 +10,14 @@ TPU-native equivalents of the reference's two native BF builders:
   * build_repeat_bf — k-mers with multiplicity >= 2 within any single
     genome (bin/ntsynt_make_repeat_bfs.py:56-67).
 
-Both stream each genome's canonical k-mer hashes through fixed-shape
-device chunks (one compiled executable per (k, chunk, size)); contigs
-are separated by k-1 N codes so no k-mer spans a boundary. The repeat
-builder detects within-chunk duplicates with a sort (the reference's
-strictly sequential contains-then-insert order is only observable
-through Bloom-filter false-positive patterns, which are not part of the
-output contract).
+Each genome/level is ONE device dispatch: the code stream lives in HBM
+and a fori_loop walks fixed-shape segments (hash -> scatter-OR insert,
+with the cascade's probe fused in). Occupancy/FPR reporting runs a
+device-side popcount (downloading the bit array to count on the host
+costs a 0.5 GB transfer per level). The repeat builder detects
+within-segment duplicates with a sort (the reference's strictly
+sequential contains-then-insert order is only observable through
+false-positive patterns, which are not part of the output contract).
 """
 
 import functools
@@ -31,12 +32,10 @@ from ..utils import log
 DEFAULT_CHUNK = 1 << 22
 
 
-def _kmer_stream(genome, k: int, chunk: int, codes: np.ndarray | None = None):
-    """Yield fixed-size uint8 code tiles covering every k-mer once.
-
-    Tiles are chunk + k - 1 long (halo); k-mers spanning contig ends are
-    invalidated by k-1 N separators.
-    """
+def _stream_buffer(genome, k: int, chunk: int, codes: np.ndarray | None = None):
+    """Concatenate contigs with k-1 N separators; pad so every segment
+    slice [i*chunk, i*chunk + chunk + k - 1) is in range. Returns
+    (host buffer uint8, n_segments)."""
     src = genome.codes if codes is None else codes
     parts = []
     sep = np.full(k - 1, 4, dtype=np.uint8)
@@ -46,51 +45,88 @@ def _kmer_stream(genome, k: int, chunk: int, codes: np.ndarray | None = None):
         parts.append(sep)
     stream = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     n_kmers = max(len(stream) - k + 1, 0)
-    tile_len = chunk + k - 1
-    for s in range(0, n_kmers, chunk):
-        tile = stream[s : s + tile_len]
-        if len(tile) < tile_len:
-            tile = np.concatenate([tile, np.full(tile_len - len(tile), 4, np.uint8)])
-        yield jnp.asarray(tile)
+    if n_kmers == 0:
+        return None, 0
+    n_segs = -(-n_kmers // chunk)
+    need = n_segs * chunk + k - 1
+    buf = np.full(need, 4, dtype=np.uint8)
+    buf[: len(stream)] = stream
+    return buf, n_segs
+
+
+def _segment_hashes(codes_buf, i, k: int, chunk: int):
+    tile = jax.lax.dynamic_slice(codes_buf, (i * chunk,), (chunk + k - 1,))
+    h = nthash.hash_tile(tile, k)
+    return h["canon_hi"], h["canon_lo"], h["valid"]
 
 
 @functools.lru_cache(maxsize=None)
-def _hash_chunk_fn(k: int, chunk: int):
-    @jax.jit
-    def run(codes_tile):
-        h = nthash.hash_tile(codes_tile, k)
-        return h["canon_hi"], h["canon_lo"], h["valid"]
+def _insert_stream_fn(k: int, chunk: int, bits_log2: int):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(codes_buf, n_segs, words):
+        def body(i, words):
+            hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
+            return bloom.insert_words(words, hi, lo, valid, bits_log2)
+
+        return jax.lax.fori_loop(0, n_segs, body, words)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def _probe_fn(bits_log2: int):
-    @jax.jit
-    def run(words, hi, lo):
-        return bloom.bf_probe(words, hi, lo, bits_log2)
+def _cascade_stream_fn(k: int, chunk: int, bits_log2: int):
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def run(codes_buf, n_segs, prev_words, new_words):
+        def body(i, new_words):
+            hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
+            present = bloom.bf_probe(prev_words, hi, lo, bits_log2)
+            return bloom.insert_words(new_words, hi, lo, valid & present, bits_log2)
+
+        return jax.lax.fori_loop(0, n_segs, body, new_words)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def _first_occurrence_fn():
-    @jax.jit
-    def run(hi, lo):
-        """True at the first occurrence of each distinct (hi, lo)."""
-        n = hi.shape[0]
-        idx = jnp.arange(n, dtype=jnp.int32)
-        s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
-        dup_prev = jnp.concatenate(
-            [
-                jnp.zeros(1, dtype=bool),
-                (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
-            ]
-        )
-        first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
-        return first
+def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def run(codes_buf, n_segs, rep_words, seen_words):
+        def body(i, carry):
+            rep, seen = carry
+            hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
+            already = bloom.bf_probe(seen, hi, lo, bits_log2)
+            # first occurrence of each distinct hash within the segment
+            n = hi.shape[0]
+            idx = jnp.arange(n, dtype=jnp.int32)
+            s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
+            dup_prev = jnp.concatenate(
+                [
+                    jnp.zeros(1, dtype=bool),
+                    (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
+                ]
+            )
+            first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
+            rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
+            seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
+            return rep, seen
+
+        return jax.lax.fori_loop(0, n_segs, body, (rep_words, seen_words))
 
     return run
+
+
+@jax.jit
+def _popcount_words(words):
+    x = words
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return jnp.sum((x * jnp.uint32(0x01010101)) >> 24, dtype=jnp.uint64)
+
+
+def device_fpr(bf) -> float:
+    """Occupancy (= FPR for a 1-hash BF) without downloading the words."""
+    return float(_popcount_words(bf.words)) / bf.num_bits
 
 
 def bf_size_bits(genomes, fpr: float, bf_bytes: int | None = None) -> int:
@@ -106,46 +142,43 @@ def build_common_bf(genomes, k: int, fpr: float = 0.025, bf_bytes=None, chunk: i
     """Cascading common-k-mer Bloom filter over all genomes.
 
     Genomes are processed in lexicographic path order for determinism
-    (src/ntsynt_make_common_bf.cpp:105-107).
+    (src/ntsynt_make_common_bf.cpp:105-107). One dispatch per level.
     """
     ordered = sorted(genomes, key=lambda g: g.path)
     num_bits = bf_size_bits(genomes, fpr, bf_bytes)
-    hash_fn = _hash_chunk_fn(k, chunk)
+    bits_log2 = num_bits.bit_length() - 1
 
     log(f"Building common Bloom filter ({num_bits // 8} bytes) over {len(ordered)} genomes")
+    buf, n_segs = _stream_buffer(ordered[0], k, chunk)
     bf = bloom.DeviceBloomFilter(num_bits, k)
-    for tile in _kmer_stream(ordered[0], k, chunk):
-        hi, lo, valid = hash_fn(tile)
-        bf.insert(hi, lo, valid)
-    log(f"Level-1 BF occupancy/FPR: {bf.fpr():.4f}")
+    if buf is not None:
+        fn = _insert_stream_fn(k, chunk, bits_log2)
+        bf.words = fn(jnp.asarray(buf), jnp.int32(n_segs), bf.words)
+    log(f"Level-1 BF occupancy/FPR: {device_fpr(bf):.4f}")
 
-    probe = _probe_fn(bf.bits_log2)
     for genome in ordered[1:]:
+        buf, n_segs = _stream_buffer(genome, k, chunk)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
-        for tile in _kmer_stream(genome, k, chunk):
-            hi, lo, valid = hash_fn(tile)
-            present = probe(bf.words, hi, lo)
-            nxt.insert(hi, lo, valid & present)
+        if buf is not None:
+            fn = _cascade_stream_fn(k, chunk, bits_log2)
+            nxt.words = fn(jnp.asarray(buf), jnp.int32(n_segs), bf.words, nxt.words)
         bf = nxt
-        log(f"Cascade BF occupancy/FPR after {genome.name}: {bf.fpr():.4f}")
+        log(f"Cascade BF occupancy/FPR after {genome.name}: {device_fpr(bf):.4f}")
     return bf
 
 
 def build_repeat_bf(genomes, k: int, fpr: float = 0.01, bf_bytes=None, chunk: int = DEFAULT_CHUNK):
     """BF of k-mers with multiplicity >= 2 within any single genome
-    (bin/ntsynt_make_repeat_bfs.py:56-67)."""
+    (bin/ntsynt_make_repeat_bfs.py:56-67). One dispatch per genome."""
     num_bits = bf_size_bits(genomes, fpr, bf_bytes)
-    hash_fn = _hash_chunk_fn(k, chunk)
-    first_fn = _first_occurrence_fn()
+    bits_log2 = num_bits.bit_length() - 1
     rep = bloom.DeviceBloomFilter(num_bits, k)
-    probe = _probe_fn(num_bits.bit_length() - 1)
+    fn = _repeat_stream_fn(k, chunk, bits_log2)
     for genome in genomes:
+        buf, n_segs = _stream_buffer(genome, k, chunk)
+        if buf is None:
+            continue
         seen = bloom.DeviceBloomFilter(num_bits, k)
-        for tile in _kmer_stream(genome, k, chunk):
-            hi, lo, valid = hash_fn(tile)
-            already = probe(seen.words, hi, lo)
-            first = first_fn(hi, lo)
-            rep.insert(hi, lo, valid & (already | ~first))
-            seen.insert(hi, lo, valid)
-    log(f"Repeat BF occupancy/FPR: {rep.fpr():.4f}")
+        rep.words, _ = fn(jnp.asarray(buf), jnp.int32(n_segs), rep.words, seen.words)
+    log(f"Repeat BF occupancy/FPR: {device_fpr(rep):.4f}")
     return rep
