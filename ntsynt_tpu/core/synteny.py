@@ -399,8 +399,9 @@ class SyntenyDetector:
 
         filter_common(self.assemblies)
         self.make_minimizer_graph()
-        if p.dev:
-            self.write_dot(f"{p.prefix}.mx.dot")
+        # the reference always emits the graph artifact from
+        # make_minimizer_graph (expected-result listing, SURVEY.md §2.4)
+        self.write_dot(f"{p.prefix}.mx.dot")
         if p.simplify_graph:
             log("Running graph simplification")
             self.graph = self.graph.simplify_bubbles(self.max_edge_weight)

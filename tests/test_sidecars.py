@@ -89,3 +89,77 @@ def test_plots(tmp_path):
     p2 = painting_plot(paint, str(tmp_path / "paint.png"))
     assert os.path.getsize(p1) > 5000
     assert os.path.getsize(p2) > 5000
+
+
+def test_run_core_cli_from_tsvs(tmp_path):
+    """ntsynt-tpu-run: core stage from existing sketch TSVs (parity with
+    bin/ntsynt_run.py), exercising the TSV-input path end to end."""
+    import numpy as np
+
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    from ntsynt_tpu.io.fasta import read_fasta
+    from ntsynt_tpu.io.sketch_tsv import write_sketch_tsv
+    from ntsynt_tpu.ops.sketch import sketch_genome
+    from ntsynt_tpu.run_core import main as run_main
+
+    rng = np.random.default_rng(3)
+    dec = np.array(list("ACGT"))
+    base = rng.integers(0, 4, 60_000)
+    mut = base.copy()
+    mut[20_000:30_000] = mut[20_000:30_000][::-1] ^ 3
+    for name, g in [("ra.fa", base), ("rb.fa", mut)]:
+        s = "".join(dec[g])
+        (tmp_path / name).write_text(
+            ">c1\n" + "\n".join(s[i : i + 70] for i in range(0, len(s), 70)) + "\n"
+        )
+    k, w = 24, 100
+    tsvs = []
+    for name in ("ra.fa", "rb.fa"):
+        g = read_fasta(str(tmp_path / name))
+        sk = sketch_genome(g, k, w, chunk=1 << 14)
+        recs = []
+        for ci, cname in enumerate(sk.contig_names):
+            m = sk.contig_idx == ci
+            seqs = [g.kmer_string(ci, int(p), k) for p in sk.positions[m]]
+            recs.append((cname, sk.hashes[m], sk.positions[m], seqs))
+        tsv = tmp_path / f"{name}.k{k}.w{w}.tsv"
+        write_sketch_tsv(str(tsv), recs)
+        tsvs.append(str(tsv))
+
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = run_main(
+            tsvs
+            + [
+                "--fastas",
+                str(tmp_path / "ra.fa"),
+                str(tmp_path / "rb.fa"),
+                "-k",
+                str(k),
+                "-w",
+                str(w),
+                "--w-rounds",
+                "50",
+                "10",
+                "--bp",
+                "500",
+                "--collinear-merge",
+                "3000",
+                "-z",
+                "500",
+                "-p",
+                "core_out",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    rows = open(tmp_path / "core_out.synteny_blocks.tsv").read().strip().split("\n")
+    assert len(rows) >= 4  # at least 2 blocks x 2 assemblies (inversion)
+    assert any("\t-\t" in r for r in rows)  # the inversion strand
+    assert (tmp_path / "core_out.mx.dot").exists()
