@@ -113,6 +113,24 @@ class AssemblyMinimizers:
         )
 
     @classmethod
+    def from_arrays(cls, key, contig_names, hashes, cidx, pos, genome=None) -> "AssemblyMinimizers":
+        """Build from flat (hash, contig_idx, position) arrays already
+        ordered by (contig, position); applies read_minimizers dedupe."""
+        hashes = np.asarray(hashes, np.uint64)
+        cidx = np.asarray(cidx, np.int32)
+        pos = np.asarray(pos, np.int64)
+        keep = _dedupe_mask(hashes)
+        hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
+        lists = [hashes[cidx == ci] for ci in range(len(contig_names))]
+        return cls(
+            key=key,
+            contig_names=list(contig_names),
+            lists=lists,
+            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            genome=genome,
+        )
+
+    @classmethod
     def from_tsv_records(cls, key, records, genome=None) -> "AssemblyMinimizers":
         """Build from io.sketch_tsv.read_sketch_tsv output."""
         names = [r[0] for r in records]

@@ -106,6 +106,94 @@ def apply_mask(genome, mask_by_ctg) -> np.ndarray:
     return codes
 
 
+def condensed_genome(genome, mask_by_ctg, w: int, k: int):
+    """A compacted stand-in for the masked genome, sketch-equivalent.
+
+    Re-sketching rounds only produce minimizers from unmasked material,
+    but the masked copy is still genome-sized; at w=10 on mammal-scale
+    genomes the device sweeps ~90% dead sequence. This builds a small
+    synthetic genome holding just the live material, exactly preserving
+    indexlr-over-masked-fasta window semantics:
+
+      * masks shorter than w+k bases stay INLINE as N runs (windows can
+        span them, selecting valid k-mers on both sides);
+      * masks of >= w+k bases split segments (no window spans them), and
+        each cut boundary is padded with w+k-2 N bases so the partial
+        windows that slide into the mask in the original coordinate
+        system exist as full windows of the synthetic contig;
+      * true contig ends get no padding (indexlr emits no partial
+        windows there).
+
+    Returns (synthetic PackedGenome, seg_ctg int32 [n_segs], seg_off
+    int64 [n_segs]) with original_position = synthetic_position +
+    seg_off[synthetic_contig].
+    """
+    from ..io.fasta import PackedGenome
+
+    long_mask = w + k
+    pad = w + k - 2
+    seg_codes, seg_ctg, seg_off, names = [], [], [], []
+    for ci in range(genome.n_contigs):
+        ln = int(genome.lengths[ci])
+        if ln <= 0:
+            continue
+        base = int(genome.offsets[ci])
+        ivs = sorted(
+            (max(0, min(s, ln)), max(0, min(e, ln)))
+            for s, e in mask_by_ctg.get(ci, [])
+            if min(e, ln) > max(s, 0)
+        )
+        # merge overlapping masks
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        long_runs = [(s, e) for s, e in merged if e - s >= long_mask]
+        cuts = [0] + [x for s, e in long_runs for x in (s, e)] + [ln]
+        for a, b in zip(cuts[::2], cuts[1::2]):
+            if b - a < k:  # no k-mer can fit
+                continue
+            piece = genome.codes[base + a : base + b].copy()
+            # short masks inside stay as N runs
+            for s, e in merged:
+                if e - s < long_mask and e > a and s < b:
+                    piece[max(s, a) - a : min(e, b) - a] = 4
+            lp = pad if a > 0 else 0
+            rp = pad if b < ln else 0
+            if lp or rp:
+                piece = np.concatenate(
+                    [np.full(lp, 4, np.uint8), piece, np.full(rp, 4, np.uint8)]
+                )
+            seg_codes.append(piece)
+            seg_ctg.append(ci)
+            seg_off.append(a - lp)
+            names.append(f"seg{len(names)}")
+    if not seg_codes:
+        seg_codes = [np.zeros(0, np.uint8)]
+        seg_ctg, seg_off, names = [0], [0], ["seg0"]
+    lengths = np.asarray([len(c) for c in seg_codes], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    synthetic = PackedGenome(
+        path=genome.path + ".condensed",
+        name=genome.name,
+        contig_names=names,
+        lengths=lengths,
+        offsets=offsets,
+        codes=np.concatenate(seg_codes),
+        raw=None,
+        fai_offsets=np.zeros(len(names), np.int64),
+        fai_linebases=lengths.copy(),
+        fai_linewidth=lengths + 1,
+    )
+    return (
+        synthetic,
+        np.asarray(seg_ctg, dtype=np.int32),
+        np.asarray(seg_off, dtype=np.int64),
+    )
+
+
 def filter_new_minimizer_lists(per_ctg_lists, black_list, intervals_for_asm, contig_of_list):
     """filter_minimizers_synteny_blocks for one assembly
     (bin/ntsynt_synteny.py:256-280).

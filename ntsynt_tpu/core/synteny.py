@@ -250,19 +250,31 @@ class SyntenyDetector:
                     "rounds need the sequences to re-sketch"
                 )
             t0 = _time.perf_counter()
-            masked = rf.apply_mask(asm.genome, mask_ivs[a])
+            # sketch only the live (unmasked) material: condensed_genome
+            # is window-semantics-equivalent to sketching the full
+            # masked genome but ~10x smaller after the first round
+            cond, seg_ctg, seg_off = rf.condensed_genome(
+                asm.genome, mask_ivs[a], new_w, p.k
+            )
             sk = sketch_ops.sketch_genome(
-                asm.genome,
+                cond,
                 p.k,
                 new_w,
                 common_bf=p.common_bf,
                 repeat_bf=p.repeat_bf,
                 chunk=p.chunk,
-                codes=masked,
             )
             t_sketch = _time.perf_counter() - t0
+            # remap synthetic segments -> original (contig, position);
             # read_minimizers semantics: drop within-assembly duplicates
-            tmp = AssemblyMinimizers.from_sketch(sk, genome=asm.genome)
+            tmp = AssemblyMinimizers.from_arrays(
+                asm.key,
+                asm.contig_names,
+                sk.hashes,
+                seg_ctg[sk.contig_idx],
+                sk.positions + seg_off[sk.contig_idx],
+                genome=asm.genome,
+            )
             per_ctg = []
             ctg_of_list = []
             for ci in range(len(tmp.contig_names)):

@@ -237,3 +237,41 @@ def test_sketch_artifact_reuse(tmp_path, base_genome):
     assert not any(s.startswith("sketch:") for s in t.timer.stages), (
         "sketches were recomputed instead of reused"
     )
+
+
+def test_condensed_resketch_matches_full_mask():
+    """condensed_genome must reproduce exactly the minimizers of
+    sketching the full masked genome (window-semantics equivalence,
+    incl. short inline masks and cut-boundary padding)."""
+    import numpy as np
+
+    from ntsynt_tpu.core import refine as rf
+    from ntsynt_tpu.io.fasta import PackedGenome
+    from ntsynt_tpu.ops.sketch import sketch_genome
+
+    rng = np.random.default_rng(8)
+    k, w = 24, 100
+    L = 60_000
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    g = PackedGenome(
+        path="m.fa", name="m.fa", contig_names=["c1"],
+        lengths=np.array([L]), offsets=np.array([0]), codes=codes, raw=None,
+        fai_offsets=np.array([0]), fai_linebases=np.array([L]),
+        fai_linewidth=np.array([L + 1]),
+    )
+    # masks: two long (unspannable), one short (spannable), one at 0
+    masks = {0: [(0, 500), (10_000, 25_000), (30_000, 30_050), (40_000, 55_000)]}
+
+    full = rf.apply_mask(g, masks)
+    sk_full = sketch_genome(g, k, w, chunk=1 << 13, codes=full)
+
+    cond, seg_ctg, seg_off = rf.condensed_genome(g, masks, w, k)
+    assert cond.total_bases < L  # actually condensed
+    sk_c = sketch_genome(cond, k, w, chunk=1 << 13)
+    pos_c = np.sort(sk_c.positions + seg_off[sk_c.contig_idx])
+
+    assert (np.sort(sk_full.positions) == pos_c).all()
+    # hashes too (same kmers at same positions)
+    order_f = np.argsort(sk_full.positions)
+    order_c = np.argsort(sk_c.positions + seg_off[sk_c.contig_idx])
+    assert (sk_full.hashes[order_f] == sk_c.hashes[order_c]).all()
