@@ -72,7 +72,7 @@ def build_parser():
     parser.add_argument("-k", help="Minimizer k-mer size [24]", type=int, default=24)
     parser.add_argument("-w", help="Minimizer window size [1000]", type=int, default=1000)
     parser.add_argument(
-        "-t", help="Number of host threads (reserved; device parallelism is automatic) [12]",
+        "-t", help="Host threads for the native FASTA reader [12]",
         type=int, default=12,
     )
     parser.add_argument("--fpr", help="Bloom filter false positive rate [0.025]", type=float, default=0.025)
@@ -156,6 +156,7 @@ def main(argv=None):
         dev=args.dev,
         force=args.force,
         dry_run=args.dry_run,
+        threads=args.t,
     )
     out = NtSyntTPU(cfg).run()
     if out:

@@ -53,6 +53,7 @@ class PipelineConfig:
     dry_run: bool = False
     write_artifacts: bool = True
     out_dir: str = "."
+    threads: int = 0  # host threads for the native FASTA reader (-t)
     chunk: int = sketch_ops.DEFAULT_CHUNK
 
     def resolved_prefix(self) -> str:
@@ -110,7 +111,7 @@ class NtSyntTPU:
         genomes = {}
         with self.timer.stage("read_fasta"):
             for path in cfg.fastas:
-                g = fio.read_fasta(path)
+                g = fio.read_fasta(path, threads=cfg.threads)
                 genomes[g.name] = g
                 if cfg.write_artifacts:
                     fio.write_fai(g, os.path.join(cfg.out_dir, f"{g.name}.fai"))

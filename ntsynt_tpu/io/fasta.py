@@ -159,7 +159,7 @@ def _read_fasta_native(path: str, keep_raw: bool, lib, threads: int = 0) -> Pack
     )
 
 
-def read_fasta(path: str, keep_raw: bool = True, native: bool | None = None) -> PackedGenome:
+def read_fasta(path: str, keep_raw: bool = True, native: bool | None = None, threads: int = 0) -> PackedGenome:
     """Parse a FASTA(.gz) file into a PackedGenome.
 
     Plain (non-gzip) files go through the native OpenMP packer when
@@ -169,7 +169,7 @@ def read_fasta(path: str, keep_raw: bool = True, native: bool | None = None) -> 
     if native is not False and not path.endswith(".gz"):
         lib = _native_lib()
         if lib is not None:
-            g = _read_fasta_native(path, keep_raw, lib)
+            g = _read_fasta_native(path, keep_raw, lib, threads=threads)
             if g is not None:
                 return g
             if native:
