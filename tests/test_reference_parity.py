@@ -1,0 +1,128 @@
+"""Parity against the reference's REAL golden data.
+
+The C. elegans demo FASTAs are missing blobs in this snapshot, so the
+reference's end-to-end golden diff cannot run. What IS present:
+
+  * complete golden minimizer sketches (k24/k20, w1000) for all three
+    demo assemblies — these feed our graph/path/block machinery the
+    exact same input the reference consumed, and
+  * the golden FINAL block TSVs (which include two refinement rounds at
+    w=100/10 that require the sequences).
+
+So: run our core stage (initial detection, no refinement) on the golden
+sketches and require structural agreement with the golden final blocks —
+near-total mutual span coverage, identical contig pairings, identical
+orientation patterns. Refinement only extends block ends by up to ~w+k,
+so coordinates must agree within that tolerance.
+"""
+
+import os
+
+import pytest
+
+from ntsynt_tpu.core.assembly import AssemblyMinimizers
+from ntsynt_tpu.core.synteny import SyntenyDetector, SyntenyParams
+from ntsynt_tpu.io import read_sketch_tsv
+
+GOLDEN_DIR = "/root/reference/tests/expected_result"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference golden data not available"
+)
+
+
+def _load(tmp_path, names, k):
+    assemblies = {}
+    for name in names:
+        tsv = os.path.join(GOLDEN_DIR, f"{name}.k{k}.w1000.tsv")
+        assemblies[name] = AssemblyMinimizers.from_tsv_records(
+            name, read_sketch_tsv(tsv)
+        )
+    return assemblies
+
+
+def _rows(path):
+    return [l.rstrip("\n").split("\t") for l in open(path)]
+
+
+def _spans(rows, asm):
+    return [(r[2], int(r[3]), int(r[4]), r[5]) for r in rows if r[1] == asm]
+
+
+def _mutual_coverage(a_spans, b_spans):
+    tot = sum(e - s for _, s, e, _ in a_spans)
+    cov = 0
+    for ctg, s, e, _ in a_spans:
+        for ctg2, s2, e2, _ in b_spans:
+            if ctg == ctg2:
+                lo, hi = max(s, s2), min(e, e2)
+                cov += max(hi - lo, 0)
+    return cov / tot
+
+
+def test_two_genome_core_structure(tmp_path):
+    names = ["celegans-chrII-III.fa", "celegans-chrII-III.A.fa"]
+    assemblies = _load(tmp_path, names, 24)
+    params = SyntenyParams(
+        k=24, w=1000, z=500, bp=500, collinear_merge="3000",
+        w_rounds=(), simplify_graph=True,
+        prefix=str(tmp_path / "parity2"),
+    )
+    SyntenyDetector(assemblies, params).run()
+    ours = _rows(str(tmp_path / "parity2.synteny_blocks.tsv"))
+    golden = _rows(os.path.join(GOLDEN_DIR, "celegans-A-ntSynt.synteny_blocks.tsv"))
+
+    for asm in names:
+        ga, oa = _spans(golden, asm), _spans(ours, asm)
+        assert _mutual_coverage(ga, oa) > 0.99, asm
+        assert _mutual_coverage(oa, ga) > 0.99, asm
+
+    # the golden translocation block (id 1: NC_003280 <-> NC_003281 at
+    # ~1.73 Mb / ~10.72 Mb) must appear with the same contig pairing
+    def pairing(rows):
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r[0], []).append((r[1], r[2], int(r[3]) // 10_000))
+        return by_id
+
+    ob = pairing(ours)
+    found = any(
+        {e[1].split("|")[1] for e in blk} == {"453231901", "453232067"}
+        and any(abs(e[2] - 172) <= 1 for e in blk)
+        for blk in ob.values()
+    )
+    assert found, "translocation block NC_003280~1.73Mb <-> NC_003281 missing"
+
+    # all our blocks' orientations are consistent with golden: the
+    # representative assembly ascends => first column always '+'
+    for r in ours:
+        if r[1] == "celegans-chrII-III.A.fa":
+            assert r[5] == "+"
+
+
+def test_three_genome_core_structure(tmp_path):
+    names = [
+        "celegans-chrII-III.fa",
+        "celegans-chrII-III.A.fa",
+        "celegans-chrII-III.B.fa",
+    ]
+    assemblies = _load(tmp_path, names, 20)
+    params = SyntenyParams(
+        k=20, w=1000, z=500, bp=500, collinear_merge="3000",
+        w_rounds=(), simplify_graph=True,
+        prefix=str(tmp_path / "parity3"),
+    )
+    SyntenyDetector(assemblies, params).run()
+    ours = _rows(str(tmp_path / "parity3.synteny_blocks.tsv"))
+    golden = _rows(
+        os.path.join(GOLDEN_DIR, "celegans-A-B-ntSynt.pre-collinear-merge.synteny_blocks.tsv")
+    )
+    ids = {r[0] for r in ours}
+    # every block has one row per assembly, same minimizer count per row
+    for i in ids:
+        rows = [r for r in ours if r[0] == i]
+        assert len(rows) == 3
+        assert len({r[6] for r in rows}) == 1
+    for asm in names:
+        ga, oa = _spans(golden, asm), _spans(ours, asm)
+        assert _mutual_coverage(ga, oa) > 0.97, asm
