@@ -135,6 +135,77 @@ def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
     return jax.jit(fn)
 
 
+def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 18):
+    """Data-parallel minimizer sketch over a device mesh.
+
+    The genome's code stream is tiled into window chunks; all devices
+    process a batch of tiles per step (dim-0 sharding), and the host
+    reduces per-window argmins to the selected minimizer set — the
+    multi-chip analog of the per-genome snakemake fan-out (SURVEY.md
+    §2.3). Results are identical to ops.sketch.sketch_genome.
+
+    Bloom-filter filtering is not fused here (pass the sketch through
+    the single-chip path for -s/-r semantics); this entry point is the
+    scale-out skeleton exercised by dryrun_multichip and the CPU-mesh
+    tests.
+    """
+    from ..ops import sketch as sketch_ops
+
+    mesh = mesh or make_mesh()
+    d = mesh.devices.size
+    stream = sketch_ops._Stream(genome, k, w)
+    legit = stream.legit_windows()
+    nwin = len(legit)
+    step = sharded_sketch_step(mesh, k, w, chunk, 16)
+    words = jnp.zeros((1 << 16) // 32, jnp.uint32)
+
+    selected = []
+    tiles_per_call = d
+    span = chunk * tiles_per_call
+    for ws in range(0, nwin, span):
+        tiles = make_tiles(stream.codes[ws:], tiles_per_call, chunk, k, w)
+        args, win_valid, words = step(jnp.asarray(tiles), words)
+        args = np.asarray(args)
+        win_valid = np.asarray(win_valid)
+        for t in range(tiles_per_call):
+            base = ws + t * chunk
+            if base >= nwin:
+                break
+            lg = legit[base : base + chunk]
+            vv = win_valid[t, : len(lg)] & lg
+            if vv.any():
+                selected.append(np.unique(args[t, : len(lg)][vv]).astype(np.int64) + base)
+    sel = np.unique(np.concatenate(selected)) if selected else np.zeros(0, np.int64)
+
+    # short-contig fallback + position mapping via the host helpers
+    cidx, cpos = stream.to_contig_pos(sel)
+    extra_ci, extra_pos = [], []
+    for i in stream.short_contigs():
+        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
+        ccodes = genome.codes[o : o + ln]
+        canon, out, valid = sketch_ops.nthash.hash_sequence_np(ccodes, k)
+        if valid.any():
+            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            extra_ci.append(i)
+            extra_pos.append(int(np.argmin(keys)))
+    if extra_ci:
+        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
+        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
+        order = np.lexsort((cpos, cidx))
+        cidx, cpos = cidx[order], cpos[order]
+    canon, hashes = sketch_ops._hash_at_positions(genome, k, cidx, cpos)
+    return sketch_ops.GenomeSketch(
+        name=genome.name,
+        k=k,
+        w=w,
+        contig_names=list(genome.contig_names),
+        contig_idx=cidx,
+        positions=cpos,
+        hashes=hashes,
+        canon=canon,
+    )
+
+
 def make_tiles(stream_codes: np.ndarray, n_tiles: int, chunk: int, k: int, w: int):
     """Host-side: slice a genome code stream into [n_tiles, NC] tiles
     covering window ranges [t*chunk, (t+1)*chunk), halo included, padded

@@ -102,3 +102,24 @@ def test_multichip_cascade_probe(mesh8):
 
     hits = np.asarray(bf_probe(words2, jnp.asarray(hi), jnp.asarray(lo), bits_log2))
     assert hits.all()
+
+
+def test_sharded_sketch_genome_matches_single(mesh8):
+    """Genome-level mesh sketching must equal the single-device path."""
+    from ntsynt_tpu.parallel.mesh import sharded_sketch_genome
+    from ntsynt_tpu.ops.sketch import sketch_genome
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_sketch import _genome_from_contigs, _rand_contig
+
+    rng = np.random.default_rng(11)
+    k, w = 24, 60
+    g = _genome_from_contigs(
+        [_rand_contig(rng, 20_000, n_prob=0.001), _rand_contig(rng, 7_000)]
+    )
+    want = sketch_genome(g, k, w, chunk=1 << 12, engine="chunk")
+    got = sharded_sketch_genome(g, k, w, mesh=mesh8, chunk=1 << 10)
+    assert (got.positions == want.positions).all()
+    assert (got.contig_idx == want.contig_idx).all()
+    assert (got.hashes == want.hashes).all()
