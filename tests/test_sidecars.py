@@ -163,3 +163,23 @@ def test_run_core_cli_from_tsvs(tmp_path):
     assert len(rows) >= 4  # at least 2 blocks x 2 assemblies (inversion)
     assert any("\t-\t" in r for r in rows)  # the inversion strand
     assert (tmp_path / "core_out.mx.dot").exists()
+
+
+def test_viz_clis(tmp_path, capsys):
+    tsv = _write_inputs(tmp_path)
+    fais = [str(tmp_path / "a.fa.fai"), str(tmp_path / "b.fa.fai")]
+    from ntsynt_tpu.viz.cli import gggenomes_main, painting_main, sort_blocks_main
+
+    assert sort_blocks_main(["--synteny_blocks", tsv, "--sort_order", "b.fa", "a.fa"]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0].split("\t")[1] == "b.fa"
+
+    assert sort_blocks_main(["--synteny_blocks", tsv, "--sort_order", *fais, "--fais"]) == 0
+
+    prefix = str(tmp_path / "gv")
+    assert gggenomes_main(["--fai", *fais, "--blocks", tsv, "-p", prefix, "-l", "1000"]) == 0
+    assert os.path.exists(prefix + ".links.tsv")
+
+    outp = str(tmp_path / "pt.tsv")
+    assert painting_main([tsv, "--target", "a.fa", "-o", outp]) == 0
+    assert os.path.exists(outp)
