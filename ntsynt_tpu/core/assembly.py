@@ -14,7 +14,7 @@ sketch TSV filename; we strip the .k<k>.w<w>.tsv suffix at print time
 either way, so the basename is the stable identity).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

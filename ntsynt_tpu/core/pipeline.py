@@ -17,7 +17,7 @@ reference's memusg/time wrappers, .smk:26-35) and written to
 <prefix>.time.tsv under --benchmark.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 import os
 
 import numpy as np

@@ -18,7 +18,7 @@ ascends — the property observed in every golden block — and block
 output lexicographically sorted (synteny_block.py:102-109).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

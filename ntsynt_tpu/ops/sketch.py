@@ -36,9 +36,11 @@ import numpy as np
 from . import bloom, nthash, winmin
 from ..utils import log
 
-DEFAULT_CHUNK = 1 << 22  # windows per device segment (fixed per-segment
-# costs — dispatch bookkeeping, sort constants — amortize over larger
-# segments; 2^22 windows ~ 4.2 Mbp keeps peak HBM use modest)
+DEFAULT_CHUNK = 1 << 20  # windows per device segment. Measured best on
+# the v5e: larger segments (2^22) made the Bloom-filter build ~2x slower
+# (lax.sort cost grows super-linearly) without helping the sketch; the
+# per-segment dispatch overhead is already amortized by the fori_loop
+# single-dispatch stream.
 
 
 @dataclass

@@ -10,7 +10,7 @@ Both consume the TSVs produced by viz/formats.py.
 """
 
 import csv
-from collections import OrderedDict, defaultdict
+from collections import OrderedDict
 
 
 def _load_tsv(path):
