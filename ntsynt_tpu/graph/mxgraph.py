@@ -320,6 +320,11 @@ class MinimizerGraph:
         paths; with the default min-edge-weight = #assemblies, degree
         > 2 cannot occur — see SURVEY.md §3.2). Pure cycles have no
         degree-1 endpoint and are dropped. Isolated nodes yield nothing.
+
+        Vectorized as list ranking on directed edges: successor of
+        (u -> v) is (v -> w) with w = v's other neighbor; pointer
+        doubling resolves each edge's chain end + distance in log2(n)
+        NumPy passes, then all chains materialize with two scatters.
         """
         m = self.n_edges
         if m == 0:
@@ -327,34 +332,86 @@ class MinimizerGraph:
         deg = self.degree()
         indptr, eids, other = self.incident_csr()
 
-        start_nodes = np.where(deg == 1)[0]
-        seen_edges = np.zeros(m, dtype=bool)
-        paths = []
-        for s in start_nodes:
-            e0 = eids[indptr[s]]
-            if seen_edges[e0]:
-                continue  # the reverse traversal of an emitted chain
-            nodes = [s]
-            prev = s
-            cur = int(other[indptr[s]])
-            seen_edges[e0] = True
-            ok = True
-            while True:
-                nodes.append(cur)
-                if deg[cur] == 1:
-                    break
-                if deg[cur] > 2:
-                    ok = False
-                    break
-                ids_c = eids[indptr[cur] : indptr[cur + 1]]
-                nb_c = other[indptr[cur] : indptr[cur + 1]]
-                if nb_c[0] == prev:
-                    nxt_node, nxt_edge = int(nb_c[1]), ids_c[1]
-                else:
-                    nxt_node, nxt_edge = int(nb_c[0]), ids_c[0]
-                seen_edges[nxt_edge] = True
-                prev = cur
-                cur = nxt_node
-            if ok:
-                paths.append(self.node_hash[np.asarray(nodes, dtype=np.int64)])
-        return paths
+        # directed edges: id e is eu->ev, id e+m is ev->eu
+        du = np.concatenate([self.eu, self.ev])
+        dv = np.concatenate([self.ev, self.eu])
+        # neighbor table for nodes of degree <= 2 (vectorized from CSR)
+        nb1 = np.full(self.n_nodes, -1, dtype=np.int64)
+        nb2 = np.full(self.n_nodes, -1, dtype=np.int64)
+        has1 = indptr[1:] - indptr[:-1] >= 1
+        has2 = indptr[1:] - indptr[:-1] >= 2
+        nb1[has1] = other[indptr[:-1][has1]]
+        nb2[has2] = other[indptr[:-1][has2] + 1]
+        e1 = np.full(self.n_nodes, -1, dtype=np.int64)
+        e2 = np.full(self.n_nodes, -1, dtype=np.int64)
+        e1[has1] = eids[indptr[:-1][has1]]
+        e2[has2] = eids[indptr[:-1][has2] + 1]
+
+        # successor directed edge of each directed edge (-1 at chain end)
+        w_next = np.where(nb1[dv] == du, nb2[dv], nb1[dv])
+        ue_next = np.where(nb1[dv] == du, e2[dv], e1[dv])  # undirected id
+        cont = (deg[dv] == 2) & (w_next >= 0)
+        # directed id of (dv -> w_next): ue_next with orientation
+        fwd_is_uv = np.zeros(2 * m, dtype=bool)
+        fwd_is_uv[cont] = self.eu[ue_next[cont]] == dv[cont]
+        nxt = np.where(
+            cont, np.where(fwd_is_uv, ue_next, ue_next + m), np.int64(-1)
+        )
+        poison = deg[dv] > 2  # chain runs into a branch node
+
+        # pointer doubling: end edge + hop distance for every edge
+        end = np.where(nxt < 0, np.arange(2 * m, dtype=np.int64), np.int64(-1))
+        dist = (nxt >= 0).astype(np.int64)
+        bad = poison.copy()
+        ptr = nxt.copy()
+        for _ in range(66):  # > log2(2m) always; leftovers are pure cycles
+            live = ptr >= 0
+            if not live.any():
+                break
+            p = ptr[live]
+            bad[live] |= bad[p]
+            dist_l = dist[live] + dist[p]
+            end_l = end[p]
+            dist[live] = dist_l
+            idx_live = np.where(live)[0]
+            resolved = end_l >= 0
+            end[idx_live[resolved]] = end_l[resolved]
+            ptr[idx_live] = np.where(resolved, -1, ptr[p])
+
+        # chain starts: directed edges whose source has degree 1
+        starts = np.where((deg[du] == 1) & ~bad)[0]
+        if len(starts) == 0:
+            return []
+        # each chain appears twice (both directions): keep the start
+        # whose reverse of its end edge is the other start; dedupe by id
+        rev_end = np.where(end[starts] < m, end[starts] + m, end[starts] - m)
+        keep = starts <= rev_end
+        starts = starts[keep]
+        L_edges = dist[starts] + 1  # edges per chain
+        n_nodes_out = L_edges + 1
+        offsets = np.concatenate([[0], np.cumsum(n_nodes_out)[:-1]])
+        total = int(n_nodes_out.sum())
+
+        # map every edge to its (kept) traversal via its end edge
+        kept_end = end[starts]
+        order = np.argsort(kept_end, kind="stable")
+        sorted_end = kept_end[order]
+        loc = np.searchsorted(sorted_end, end)
+        loc = np.minimum(loc, len(sorted_end) - 1)
+        # cycle edges keep end == -1 and can never match a kept end
+        on_kept = (~bad) & (sorted_end[loc] == end)
+        tr = np.full(2 * m, -1, dtype=np.int64)
+        tr[on_kept] = order[loc[on_kept]]
+
+        out = np.empty(total, dtype=np.int64)
+        es = np.where(on_kept)[0]
+        t_es = tr[es]
+        pos_in_chain = L_edges[t_es] - 1 - dist[es]
+        out[offsets[t_es] + pos_in_chain] = du[es]
+        # last node of each chain = dest of its end edge
+        out[offsets + L_edges] = dv[end[starts]]
+
+        return [
+            self.node_hash[out[offsets[i] : offsets[i] + int(n_nodes_out[i])]]
+            for i in range(len(starts))
+        ]
