@@ -275,3 +275,54 @@ def test_condensed_resketch_matches_full_mask():
     order_f = np.argsort(sk_full.positions)
     order_c = np.argsort(sk_c.positions + seg_off[sk_c.contig_idx])
     assert (sk_full.hashes[order_f] == sk_c.hashes[order_c]).all()
+
+
+def test_gz_and_fastas_list_cli(tmp_path, base_genome):
+    """gzip inputs + --fastas_list through the real CLI surface."""
+    import gzip
+
+    import numpy as np
+
+    from ntsynt_tpu.cli import main as cli_main
+
+    g2 = base_genome.copy()
+    g2[100_000:140_000] = g2[100_000:140_000][::-1] ^ 3
+    fa = write_fasta(tmp_path / "za.fa", [("chr1", base_genome)])
+    fb_plain = write_fasta(tmp_path / "zb_plain.fa", [("chr1", g2)])
+    fb = tmp_path / "zb.fa.gz"
+    with open(fb_plain, "rb") as fin, gzip.open(fb, "wb") as fout:
+        fout.write(fin.read())
+    lst = tmp_path / "fof.txt"
+    lst.write_text(f"{fa}\n{fb}\n")
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = cli_main(
+            [
+                "--fastas_list",
+                str(lst),
+                "-d",
+                "0.5",
+                "-k",
+                str(K),
+                "-w",
+                str(W),
+                "--w_rounds",
+                "50",
+                "10",
+                "--indel",
+                "500",
+                "--merge",
+                "3000",
+                "-p",
+                "gz_out",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    rows = read_blocks(str(tmp_path / "gz_out.synteny_blocks.tsv"))
+    assert any(r["ori"] == "-" for r in rows)  # inversion found
+    assert {r["asm"] for r in rows} == {"za.fa", "zb.fa.gz"}
