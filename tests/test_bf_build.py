@@ -1,0 +1,92 @@
+"""Bloom-filter builders vs NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from ntsynt_tpu.io.fasta import PackedGenome
+from ntsynt_tpu.ops import bf_build, nthash
+from ntsynt_tpu.ops.bloom import NumpyBloomFilter
+from ntsynt_tpu.ops.sketch import _probe_np
+
+
+def _genome(codes, name):
+    return PackedGenome(
+        path=name,
+        name=name,
+        contig_names=["c1", "c2"],
+        lengths=np.array([len(codes) // 2, len(codes) - len(codes) // 2]),
+        offsets=np.array([0, len(codes) // 2]),
+        codes=codes,
+        raw=None,
+        fai_offsets=np.zeros(2, np.int64),
+        fai_linebases=np.ones(2, np.int64),
+        fai_linewidth=np.ones(2, np.int64),
+    )
+
+
+@pytest.fixture(scope="module")
+def genomes():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 4, 20_000).astype(np.uint8)
+    b = a.copy()
+    b[::97] = (b[::97] + 1) % 4  # sparse SNPs
+    c = a.copy()
+    c[5_000:9_000] = rng.integers(0, 4, 4_000)  # diverged region
+    return [_genome(a, "a.fa"), _genome(b, "b.fa"), _genome(c, "c.fa")]
+
+
+def _contig_canon(g, k):
+    out = []
+    for i in range(g.n_contigs):
+        canon, _, valid = nthash.hash_sequence_np(g.contig_codes(i), k)
+        out.append(canon[valid])
+    return np.concatenate(out)
+
+
+def test_common_bf_cascade(genomes):
+    k = 20
+    bf = bf_build.build_common_bf(genomes, k, fpr=0.025, chunk=1 << 13)
+    # oracle cascade with the same pow2 size
+    nbits = bf.num_bits
+    prev = NumpyBloomFilter(nbits, k)
+    for g in sorted(genomes, key=lambda g: g.path):
+        if prev.bits.any():
+            nxt = NumpyBloomFilter(nbits, k)
+            canon = _contig_canon(g, k)
+            nxt.insert(canon[prev.probe(canon)])
+            prev = nxt
+        else:
+            prev.insert(_contig_canon(g, k))
+    got = _probe_np(bf, _contig_canon(genomes[0], k))
+    want = prev.probe(_contig_canon(genomes[0], k))
+    assert (got == want).all()
+    # truly common kmers must all be present
+    common = _contig_canon(genomes[0], k)
+    for g in genomes[1:]:
+        common = np.intersect1d(common, _contig_canon(g, k))
+    assert _probe_np(bf, common).all()
+    # FPR sane
+    assert 0 < bf_build.device_fpr(bf) < 0.2
+
+
+def test_repeat_bf(genomes):
+    k = 20
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, 6_000).astype(np.uint8)
+    # engineered repeat: a 300bp block appearing twice
+    codes[4_000:4_300] = codes[1_000:1_300]
+    g = _genome(codes, "r.fa")
+    bf = bf_build.build_repeat_bf([g], k, chunk=1 << 12)
+    canon = []
+    for i in range(g.n_contigs):
+        c, _, v = nthash.hash_sequence_np(g.contig_codes(i), k)
+        canon.append(c[v])
+    canon = np.concatenate(canon)
+    uniq, counts = np.unique(canon, return_counts=True)
+    repeated = uniq[counts >= 2]
+    once = uniq[counts == 1]
+    assert len(repeated) >= 200
+    # every multiplicity>=2 kmer must be in the repeat BF
+    assert _probe_np(bf, repeated).all()
+    # most singletons must be absent (allow BF fpr)
+    assert _probe_np(bf, once).mean() < 0.1
