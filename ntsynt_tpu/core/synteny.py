@@ -19,6 +19,7 @@ output lexicographically sorted (synteny_block.py:102-109).
 """
 
 from dataclasses import dataclass
+import sys
 
 import numpy as np
 
@@ -365,8 +366,6 @@ class SyntenyDetector:
 
     def check_non_overlapping(self, blocks):
         """--dev sanity pass (bin/ntsynt_synteny.py:234-253)."""
-        import sys
-
         seen = {}
         for block in blocks:
             if not (block.lengths() >= self.params.z).all():
@@ -403,9 +402,27 @@ class SyntenyDetector:
     # ------------------------------------------------------------------
     # main
     # ------------------------------------------------------------------
+    def print_parameters(self):
+        """Parameter echo (print_parameters_synteny, bin/ntsynt_synteny.py:44-63)."""
+        p = self.params
+        print("Parameters:")
+        print("\tAssemblies: ", self.files)
+        for label, val in [
+            ("-n", p.n), ("-p", p.prefix), ("-k", p.k), ("-w", p.w),
+            ("--w-rounds", list(p.w_rounds)), ("-m", p.m), ("-z", p.z),
+            ("--bp", p.bp), ("--collinear-merge", self.collinear_merge_bp),
+        ]:
+            print(f"\t{label} {val}")
+        if p.common_bf is not None:
+            print(f"\t--common BF({p.common_bf.num_bits} bits)")
+        if p.repeat_bf is not None:
+            print(f"\t--repeat BF({p.repeat_bf.num_bits} bits)")
+        sys.stdout.flush()
+
     def run(self):
         """main_synteny (bin/ntsynt_synteny.py:593-647)."""
         p = self.params
+        self.print_parameters()
         if len(p.w_rounds) != len(set(p.w_rounds)):
             raise ValueError("duplicate values found in w_rounds!")
 
