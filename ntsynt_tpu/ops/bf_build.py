@@ -116,17 +116,22 @@ def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
 
 
 @jax.jit
-def _popcount_words(words):
+def _popcount_partials(words):
+    """Per-group popcount partial sums (uint32-safe: each group of 4096
+    words holds at most 2^17 bits, so no overflow; the final sum runs on
+    the host in uint64 — jnp uint64 is unavailable without x64)."""
     x = words
     x = x - ((x >> 1) & jnp.uint32(0x55555555))
     x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
     x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
-    return jnp.sum((x * jnp.uint32(0x01010101)) >> 24, dtype=jnp.uint64)
+    per_word = (x * jnp.uint32(0x01010101)) >> 24
+    return jnp.sum(per_word.reshape(-1, 4096), axis=1, dtype=jnp.uint32)
 
 
 def device_fpr(bf) -> float:
     """Occupancy (= FPR for a 1-hash BF) without downloading the words."""
-    return float(_popcount_words(bf.words)) / bf.num_bits
+    partials = np.asarray(_popcount_partials(bf.words), dtype=np.uint64)
+    return float(partials.sum()) / bf.num_bits
 
 
 def bf_size_bits(genomes, fpr: float, bf_bytes: int | None = None) -> int:

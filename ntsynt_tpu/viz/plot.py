@@ -48,9 +48,7 @@ def ribbon_plot(sequence_lengths_tsv: str, links_tsv: str, out_png: str, scale: 
                     solid_capstyle="butt", zorder=3)
 
     chroms = sorted({l["colour_block"] for l in links})
-    import matplotlib.cm as cm
-
-    cmap = cm.get_cmap("tab20", max(len(chroms), 1))
+    cmap = matplotlib.colormaps["tab20"].resampled(max(len(chroms), 1))
     colour = {c: cmap(i) for i, c in enumerate(chroms)}
     for l in links:
         try:
@@ -92,7 +90,6 @@ def painting_plot(painting_tsv: str, out_png: str, scale: float = 1e6):
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    import matplotlib.cm as cm
 
     rows = _load_tsv(painting_tsv)
     chrom_rows = OrderedDict()
@@ -101,7 +98,7 @@ def painting_plot(painting_tsv: str, out_png: str, scale: float = 1e6):
     others = sorted({r["other_species"] for r in rows})
     o_idx = {o: i for i, o in enumerate(others)}
     other_chroms = sorted({r["other_chrom"] for r in rows})
-    cmap = cm.get_cmap("tab20", max(len(other_chroms), 1))
+    cmap = matplotlib.colormaps["tab20"].resampled(max(len(other_chroms), 1))
     colour = {c: cmap(i) for i, c in enumerate(other_chroms)}
 
     n_lanes = max(len(others), 1)
