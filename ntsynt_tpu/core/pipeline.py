@@ -119,7 +119,13 @@ class NtSyntTPU:
             raise ValueError("Must supply at least two genomes to compare")
 
         # --- Bloom filters (rules make_common_bf / make_repeat_bf) ----
+        # .bf artifacts are saved on a background thread: the save is a
+        # device->host download of the full bit array (hundreds of MB),
+        # which otherwise serializes ~30 s in front of the sketch stage
         common_bf = repeat_bf = None
+        save_threads = []
+        import threading
+
         if cfg.common:
             bf_path = f"{prefix}.common.bf"
             with self.timer.stage("make_common_bf"):
@@ -131,7 +137,9 @@ class NtSyntTPU:
                         list(genomes.values()), cfg.k, cfg.fpr, chunk=cfg.chunk
                     )
                     if cfg.write_artifacts:
-                        common_bf.save(bf_path)
+                        t = threading.Thread(target=common_bf.save, args=(bf_path,))
+                        t.start()
+                        save_threads.append(t)
         if cfg.repeat:
             rbf_path = f"{prefix}.repeat.bf"
             with self.timer.stage("make_repeat_bf"):
@@ -142,7 +150,9 @@ class NtSyntTPU:
                         list(genomes.values()), cfg.k, chunk=cfg.chunk
                     )
                     if cfg.write_artifacts:
-                        repeat_bf.save(rbf_path)
+                        t = threading.Thread(target=repeat_bf.save, args=(rbf_path,))
+                        t.start()
+                        save_threads.append(t)
 
         # --- sketching (rule indexlr) ---------------------------------
         sketch_repeat = repeat_bf if cfg.repeat_filter in ("Indexlr", None) and cfg.repeat else None
@@ -208,6 +218,8 @@ class NtSyntTPU:
             detector = SyntenyDetector(assemblies, params)
             out = detector.run()
 
+        for t in save_threads:  # background .bf saves must land on disk
+            t.join()
         if cfg.benchmark:
             self.timer.write_tsv(f"{prefix}.time.tsv")
             log("Stage timings:", self.timer.as_json())
