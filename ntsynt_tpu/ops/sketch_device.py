@@ -13,18 +13,18 @@ the *selected minimizers*:
   3. selection flags = run starts of the per-window argmin sequence
      (argmin is monotone in the window index, so each selected position
      is exactly one run), computed with block-space shifts,
-  4. a Pallas kernel compacts each block row's flagged (position,
-     window) pairs into `cap` slots using a one-hot MXU matmul —
+  4. a Pallas kernel compacts each 8-row tile's flagged (position,
+     window) pairs into CAP=128 slots using one-hot MXU matmuls —
      stream compaction without any gather/scatter (XLA TPU
      gathers/scatters serialize at ~60M elem/s),
-  5. the host receives [rows, cap] + counts (~0.1 byte/base), maps
-     positions back through contig tables, and handles the rare row
-     whose selections overflow `cap` by recomputing that row exactly.
+  5. all segments run inside ONE jitted fori_loop dispatch and come
+     back in one batched transfer (~0.1 byte/base); the host maps
+     positions back through contig tables and exactly recomputes the
+     rare tile whose selections overflow CAP (dense repeat regions).
 
-The per-row capacity bounds selections for w >= 128 at cap
-(default 16); rows with more (dense repeats) fall back to the host
-oracle. For w < 128 a block row has at most w windows, so cap = wp
-covers every case with zero fallback.
+For w < 17 a tile has at most 8*w <= CAP windows, so overflow is
+impossible; larger w relies on the run-length structure (typical
+selections per tile = 8w * 2/(w+1) ~ 16).
 """
 
 import functools
@@ -36,11 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import bloom, nthash, winmin
-from ..utils import log
 
 ROW_TILE = 8
-SEG_WINDOWS_DEFAULT = 1 << 22
-
+SEG_WINDOWS_DEFAULT = 1 << 20  # keep in sync with sketch.DEFAULT_CHUNK
 
 CAP = 128  # selection capacity per tile of ROW_TILE block rows
 
