@@ -30,6 +30,37 @@ from .assembly import AssemblyMinimizers
 from .synteny import SyntenyDetector, SyntenyParams
 
 
+def _is_bf_stub(path: str) -> bool:
+    """True if ``path`` is a BF resume stub (JSON marker) rather than a
+    byte-complete DeviceBloomFilter container."""
+    try:
+        with open(path, "rb") as fin:
+            return fin.read(32).lstrip().startswith(b'{"magic": "ntsynt_tpu_bf_stub"')
+    except OSError:
+        return False
+
+
+def _write_bf_stub(path: str, bf, cfg) -> None:
+    """Write a resume stub in place of the full bit array: on this
+    interconnect the 0.5 GB download (~9 MB/s) plus the re-upload on
+    resume both lose to a deterministic on-device rebuild, so the stub
+    carries only the parameters (its mtime anchors the snakemake-style
+    freshness chain, like the reference's on-disk .bf)."""
+    import json
+
+    header = dict(
+        magic="ntsynt_tpu_bf_stub",
+        num_bits=bf.num_bits,
+        k=bf.k,
+        hash_fns=1,
+        fastas=[os.path.abspath(f) for f in cfg.fastas],
+        note="bit array not materialized; rebuilt deterministically on device at resume",
+    )
+    with open(path, "w") as fout:
+        json.dump(header, fout)
+        fout.write("\n")
+
+
 @dataclass
 class PipelineConfig:
     fastas: list
@@ -52,6 +83,7 @@ class PipelineConfig:
     force: bool = False
     dry_run: bool = False
     write_artifacts: bool = True
+    bf_artifact: str = "stub"  # "stub" (resume marker; rebuild on device) | "full" (byte-complete .bf)
     out_dir: str = "."
     threads: int = 0  # host threads for the native FASTA reader (-t)
     chunk: int = sketch_ops.DEFAULT_CHUNK
@@ -118,10 +150,29 @@ class NtSyntTPU:
         if len(genomes) < 2:
             raise ValueError("Must supply at least two genomes to compare")
 
+        # --- shared code-stream uploads --------------------------------
+        # One host->device upload per genome, shared by the BF builders
+        # and the sketcher (uploads run ~30-45 MB/s over the device
+        # tunnel; BF build + sketch each uploading their own copy used
+        # to double that cost).
+        prepared = {}
+
+        def _prepared(name):
+            if name not in prepared:
+                prepared[name] = sketch_ops.prepare_shared_stream(
+                    genomes[name], cfg.k, cfg.w,
+                    seg_windows=cfg.chunk, bf_chunk=bf_build.DEFAULT_CHUNK,
+                )
+            return prepared[name]
+
         # --- Bloom filters (rules make_common_bf / make_repeat_bf) ----
-        # .bf artifacts are saved on a background thread: the save is a
-        # device->host download of the full bit array (hundreds of MB),
-        # which otherwise serializes ~30 s in front of the sketch stage
+        # The .bf artifact is a resume stub by default (bf_artifact=
+        # "stub"): downloading the 0.5 GB bit array runs at ~9 MB/s over
+        # the device tunnel (~55 s) and re-UPLOADING it on resume is
+        # slower than the ~8 s deterministic on-device rebuild, so
+        # materializing the bits loses on both sides. bf_artifact="full"
+        # restores byte-complete .bf files (saved AFTER sketching so the
+        # download never contends with sketch dispatches).
         common_bf = repeat_bf = None
         save_threads = []
         import threading
@@ -129,30 +180,42 @@ class NtSyntTPU:
         if cfg.common:
             bf_path = f"{prefix}.common.bf"
             with self.timer.stage("make_common_bf"):
-                if self._artifact_fresh(bf_path, *cfg.fastas):
+                if self._artifact_fresh(bf_path, *cfg.fastas) and not _is_bf_stub(bf_path):
                     log(f"Reusing {bf_path}")
                     common_bf = bloom.DeviceBloomFilter.load(bf_path)
                 else:
-                    common_bf = bf_build.build_common_bf(
-                        list(genomes.values()), cfg.k, cfg.fpr, chunk=cfg.chunk
+                    stub_fresh = self._artifact_fresh(bf_path, *cfg.fastas)
+                    if stub_fresh:
+                        log(f"Reusing {bf_path} (stub: deterministic on-device rebuild)")
+                    ordered = sorted(genomes.values(), key=lambda g: g.path)
+                    num_bits = bf_build.bf_size_bits(ordered, cfg.fpr)
+                    entries = []
+                    for g in ordered:
+                        stream, legit, dev_buf, n_segs_bf = _prepared(g.name)
+                        entries.append((g.name, dev_buf, n_segs_bf))
+                    common_bf = bf_build.build_common_bf_from_device(
+                        entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK
                     )
                     if cfg.write_artifacts:
-                        t = threading.Thread(target=common_bf.save, args=(bf_path,))
-                        t.start()
-                        save_threads.append(t)
+                        if cfg.bf_artifact == "full":
+                            save_threads.append((common_bf, bf_path))
+                        elif not stub_fresh:  # keep mtime: TSVs stay fresh
+                            _write_bf_stub(bf_path, common_bf, cfg)
         if cfg.repeat:
             rbf_path = f"{prefix}.repeat.bf"
             with self.timer.stage("make_repeat_bf"):
-                if self._artifact_fresh(rbf_path, *cfg.fastas):
+                if self._artifact_fresh(rbf_path, *cfg.fastas) and not _is_bf_stub(rbf_path):
                     repeat_bf = bloom.DeviceBloomFilter.load(rbf_path)
                 else:
+                    rstub_fresh = self._artifact_fresh(rbf_path, *cfg.fastas)
                     repeat_bf = bf_build.build_repeat_bf(
                         list(genomes.values()), cfg.k, chunk=cfg.chunk
                     )
                     if cfg.write_artifacts:
-                        t = threading.Thread(target=repeat_bf.save, args=(rbf_path,))
-                        t.start()
-                        save_threads.append(t)
+                        if cfg.bf_artifact == "full":
+                            save_threads.append((repeat_bf, rbf_path))
+                        elif not rstub_fresh:
+                            _write_bf_stub(rbf_path, repeat_bf, cfg)
 
         # --- sketching (rule indexlr) ---------------------------------
         sketch_repeat = repeat_bf if cfg.repeat_filter in ("Indexlr", None) and cfg.repeat else None
@@ -174,6 +237,7 @@ class NtSyntTPU:
                 )
             else:
                 with self.timer.stage(f"sketch:{name}"):
+                    stream, legit, dev_buf, _ = _prepared(name)
                     sk = sketch_ops.sketch_genome(
                         g,
                         cfg.k,
@@ -181,7 +245,9 @@ class NtSyntTPU:
                         common_bf=common_bf,
                         repeat_bf=sketch_repeat,
                         chunk=cfg.chunk,
+                        prepared=(stream, legit, dev_buf),
                     )
+                    prepared.pop(name, None)  # free the device buffer
                     if cfg.write_artifacts:
                         recs = []
                         for ci, cname in enumerate(sk.contig_names):
@@ -196,6 +262,14 @@ class NtSyntTPU:
                     sk, genome=g, repeat_canon_filter=rep_filter
                 )
             log(f"{name}: {len(assemblies[name].mx_info.sorted_hash)} minimizers kept")
+
+        # deferred full .bf saves: start the big device->host downloads
+        # only now, overlapping the (mostly host-side) synteny stage
+        save_threads = [
+            threading.Thread(target=bf.save, args=(path,)) for bf, path in save_threads
+        ]
+        for t in save_threads:
+            t.start()
 
         # --- core synteny (rule ntsynt_synteny) -----------------------
         params = SyntenyParams(

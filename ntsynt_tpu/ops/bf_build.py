@@ -143,6 +143,54 @@ def bf_size_bits(genomes, fpr: float, bf_bytes: int | None = None) -> int:
     return bloom.pow2_bits(bloom.reference_bf_bits(first.total_bases, fpr))
 
 
+def stream_segments(n_kmers: int, chunk: int) -> int:
+    """Number of fixed-shape BF segments covering ``n_kmers`` k-mers."""
+    return -(-max(n_kmers, 0) // chunk)
+
+
+def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEFAULT_CHUNK):
+    """Cascading common-k-mer BF over pre-uploaded device code buffers.
+
+    Args:
+      entries: ordered [(name, dev_buf uint8, n_segs int)] — already in
+        the reference's deterministic lexicographic-path order
+        (src/ntsynt_make_common_bf.cpp:105-107). Each buffer must hold
+        at least ``n_segs * chunk + k - 1`` codes; k-mers containing
+        non-ACGT codes (contig separators, padding) hash invalid and are
+        skipped, so any stream layout with >= k-1 separator codes
+        between contigs inserts exactly the genome's k-mer set.
+
+    One dispatch per cascade level; occupancy logging is deferred to the
+    end so no host sync lands between levels.
+    """
+    bits_log2 = num_bits.bit_length() - 1
+    log(f"Building common Bloom filter ({num_bits // 8} bytes) over {len(entries)} genomes")
+
+    levels = []
+    bf = bloom.DeviceBloomFilter(num_bits, k)
+    name0, buf0, n_segs0 = entries[0]
+    if n_segs0 > 0:
+        fn = _insert_stream_fn(k, chunk, bits_log2)
+        bf.words = fn(buf0, jnp.int32(n_segs0), bf.words)
+    levels.append((name0, _popcount_partials(bf.words)))
+
+    for name, buf, n_segs in entries[1:]:
+        nxt = bloom.DeviceBloomFilter(num_bits, k)
+        if n_segs > 0:
+            fn = _cascade_stream_fn(k, chunk, bits_log2)
+            nxt.words = fn(buf, jnp.int32(n_segs), bf.words, nxt.words)
+        bf = nxt
+        levels.append((name, _popcount_partials(bf.words)))
+
+    for i, (name, partials) in enumerate(levels):
+        occ = float(np.asarray(partials, dtype=np.uint64).sum()) / num_bits
+        if i == 0:
+            log(f"Level-1 BF occupancy/FPR: {occ:.4f}")
+        else:
+            log(f"Cascade BF occupancy/FPR after {name}: {occ:.4f}")
+    return bf
+
+
 def build_common_bf(genomes, k: int, fpr: float = 0.025, bf_bytes=None, chunk: int = DEFAULT_CHUNK):
     """Cascading common-k-mer Bloom filter over all genomes.
 
@@ -151,25 +199,13 @@ def build_common_bf(genomes, k: int, fpr: float = 0.025, bf_bytes=None, chunk: i
     """
     ordered = sorted(genomes, key=lambda g: g.path)
     num_bits = bf_size_bits(genomes, fpr, bf_bytes)
-    bits_log2 = num_bits.bit_length() - 1
 
-    log(f"Building common Bloom filter ({num_bits // 8} bytes) over {len(ordered)} genomes")
-    buf, n_segs = _stream_buffer(ordered[0], k, chunk)
-    bf = bloom.DeviceBloomFilter(num_bits, k)
-    if buf is not None:
-        fn = _insert_stream_fn(k, chunk, bits_log2)
-        bf.words = fn(jnp.asarray(buf), jnp.int32(n_segs), bf.words)
-    log(f"Level-1 BF occupancy/FPR: {device_fpr(bf):.4f}")
-
-    for genome in ordered[1:]:
+    entries = []
+    for genome in ordered:
         buf, n_segs = _stream_buffer(genome, k, chunk)
-        nxt = bloom.DeviceBloomFilter(num_bits, k)
-        if buf is not None:
-            fn = _cascade_stream_fn(k, chunk, bits_log2)
-            nxt.words = fn(jnp.asarray(buf), jnp.int32(n_segs), bf.words, nxt.words)
-        bf = nxt
-        log(f"Cascade BF occupancy/FPR after {genome.name}: {device_fpr(bf):.4f}")
-    return bf
+        dev = jnp.asarray(buf) if buf is not None else jnp.zeros(chunk + k - 1, jnp.uint8)
+        entries.append((genome.name, dev, n_segs))
+    return build_common_bf_from_device(entries, k, num_bits, chunk)
 
 
 def build_repeat_bf(genomes, k: int, fpr: float = 0.01, bf_bytes=None, chunk: int = DEFAULT_CHUNK):

@@ -157,6 +157,7 @@ def sketch_genome(
     chunk: int = DEFAULT_CHUNK,
     codes: np.ndarray | None = None,
     engine: str | None = None,
+    prepared=None,
 ) -> GenomeSketch:
     """Compute the (k, w) minimizer sketch of a genome.
 
@@ -172,9 +173,17 @@ def sketch_genome(
       engine: 'device' (HBM-resident stream + on-device compaction —
         default on TPU), 'chunk' (per-chunk host loop — default
         elsewhere), or None for auto.
+      prepared: optional (stream, legit, dev_buf) triple from
+        prepare_shared_stream — reuses the pipeline's single upload of
+        the genome's code stream (shared with the BF builders) instead
+        of rebuilding and re-uploading it here.
     """
-    stream = _Stream(genome, k, w, codes=codes)
-    legit = stream.legit_windows()
+    dev_buf = None
+    if prepared is not None:
+        stream, legit, dev_buf = prepared
+    else:
+        stream = _Stream(genome, k, w, codes=codes)
+        legit = stream.legit_windows()
     nwin = len(legit)
 
     if engine is None:
@@ -186,7 +195,7 @@ def sketch_genome(
         ds = DeviceSketcher(
             k, w, seg_windows=chunk, common_bf=common_bf, repeat_bf=repeat_bf
         )
-        sel = ds.sketch_stream(stream.codes, legit)
+        sel = ds.sketch_stream(stream.codes, legit, dev_buf=dev_buf)
     else:
         sel = _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf)
 
@@ -224,6 +233,39 @@ def sketch_genome(
         hashes=hashes,
         canon=canon,
     )
+
+
+def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHUNK,
+                          bf_chunk: int | None = None, codes: np.ndarray | None = None):
+    """Build a genome's code stream ONCE and upload it ONCE, padded so
+    the same device buffer serves both the BF builders' fixed-shape
+    segment walk and the sketcher's whole-stream dispatch (each 100 Mbp
+    upload costs seconds over the device tunnel; previously BF build and
+    sketching uploaded separate copies).
+
+    Returns (stream, legit, dev_buf, n_segs_bf). Separator/padding
+    k-mers hash invalid, so the BF walk over the sketch-layout stream
+    inserts exactly the genome's k-mer set (see bf_build docstring).
+    """
+    from . import bf_build
+    from .sketch_device import DeviceSketcher
+
+    if bf_chunk is None:
+        bf_chunk = bf_build.DEFAULT_CHUNK
+    stream = _Stream(genome, k, w, codes=codes)
+    legit = stream.legit_windows()
+    n_kmers = max(stream.total - k + 1, 0)
+    n_segs_bf = bf_build.stream_segments(n_kmers, bf_chunk)
+    need = max(
+        DeviceSketcher.required_len(len(legit), k, w, seg_windows),
+        n_segs_bf * bf_chunk + k - 1,
+        len(stream.codes),
+        1,
+    )
+    buf = np.full(need, 4, dtype=np.uint8)
+    buf[: len(stream.codes)] = stream.codes
+    dev_buf = jax.device_put(jnp.asarray(buf))
+    return stream, legit, dev_buf, n_segs_bf
 
 
 def _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf):

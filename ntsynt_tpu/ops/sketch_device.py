@@ -255,22 +255,36 @@ class DeviceSketcher:
             None if repeat_bf is None else repeat_bf.bits_log2,
         )
 
-    def sketch_stream(self, stream_codes: np.ndarray, legit: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def required_len(n_windows: int, k: int, w: int, seg: int) -> int:
+        """Minimum code-buffer length for a whole-stream dispatch: the
+        last segment's dynamic_slice must be in range."""
+        n_segs = -(-max(n_windows, 0) // seg)
+        return n_segs * seg + w + k - 2
+
+    def sketch_stream(self, stream_codes: np.ndarray, legit: np.ndarray,
+                      dev_buf=None) -> np.ndarray:
         """Return sorted unique selected k-mer stream positions.
 
         Args:
           stream_codes: uint8 [L] code stream (contigs + separators).
           legit: bool [n_windows] legit-window mask (host-built).
+          dev_buf: optional pre-uploaded uint8 device buffer holding
+            stream_codes (padded with 4s to >= required_len) — lets the
+            pipeline share ONE upload between BF build and sketching.
         """
         k, w, seg = self.k, self.w, self.seg
         nwin = len(legit)
         if nwin <= 0:
             return np.zeros(0, np.int64)
-        nc_need = seg + w - 1 + k - 1
-        total_pad = (-(len(stream_codes) - (w + k - 2)) % seg) + nc_need
-        buf = np.full(len(stream_codes) + total_pad, 4, dtype=np.uint8)
-        buf[: len(stream_codes)] = stream_codes
-        dbuf = jax.device_put(jnp.asarray(buf))
+        if dev_buf is not None:
+            assert dev_buf.shape[0] >= self.required_len(nwin, k, w, seg)
+            dbuf = dev_buf
+        else:
+            need = self.required_len(nwin, k, w, seg)
+            buf = np.full(max(need, len(stream_codes)), 4, dtype=np.uint8)
+            buf[: len(stream_codes)] = stream_codes
+            dbuf = jax.device_put(jnp.asarray(buf))
         cw = jnp.zeros(1, jnp.uint32) if self.common_bf is None else self.common_bf.words
         rw = jnp.zeros(1, jnp.uint32) if self.repeat_bf is None else self.repeat_bf.words
 

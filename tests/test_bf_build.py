@@ -90,3 +90,23 @@ def test_repeat_bf(genomes):
     assert _probe_np(bf, repeated).all()
     # most singletons must be absent (allow BF fpr)
     assert _probe_np(bf, once).mean() < 0.1
+
+
+def test_common_bf_from_shared_stream_bit_equal(genomes):
+    """The pipeline's shared sketch-layout upload must produce a BF
+    bit-identical to the dedicated k-1-separator layout (separator and
+    padding k-mers hash invalid either way)."""
+    from ntsynt_tpu.ops import sketch as sketch_ops
+
+    k, w, chunk = 20, 11, 1 << 13
+    direct = bf_build.build_common_bf(genomes, k, fpr=0.025, chunk=chunk)
+    entries = []
+    for g in sorted(genomes, key=lambda g: g.path):
+        _, _, dev_buf, n_segs = sketch_ops.prepare_shared_stream(
+            g, k, w, seg_windows=1 << 10, bf_chunk=chunk
+        )
+        entries.append((g.name, dev_buf, n_segs))
+    shared = bf_build.build_common_bf_from_device(
+        entries, k, direct.num_bits, chunk=chunk
+    )
+    assert (np.asarray(direct.words) == np.asarray(shared.words)).all()
