@@ -262,6 +262,12 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
         len(stream.codes),
         1,
     )
+    # bucket the buffer length so genomes of similar size hit the same
+    # compiled program (padding k-mers are invalid no-ops; first
+    # compiles cost minutes over the device tunnel): round up to a
+    # multiple of max(8 MB, need/16) => <= ~6% wasted upload
+    bucket = max(1 << 23, 1 << (max(need - 1, 1).bit_length() - 4))
+    need = -(-need // bucket) * bucket
     buf = np.full(need, 4, dtype=np.uint8)
     buf[: len(stream.codes)] = stream.codes
     dev_buf = jax.device_put(jnp.asarray(buf))
