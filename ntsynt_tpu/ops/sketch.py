@@ -235,6 +235,31 @@ def sketch_genome(
     )
 
 
+def _pack_stream_host(buf: np.ndarray) -> np.ndarray:
+    """2-bit-pack a code buffer (len divisible by 4); code 4 packs as 0
+    and is restored from the separate N-bitmap on device."""
+    v = (buf & 3).reshape(-1, 4)
+    return v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4) | (v[:, 3] << 6)
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_stream_fn(out_len: int):
+    """codes[i] = 4 if N-bit set else 2-bit code (dense VPU ops only)."""
+    assert out_len % 8 == 0
+
+    @jax.jit
+    def run(packed2, isn_bits):
+        p = packed2
+        codes = jnp.stack(
+            [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1
+        ).reshape(-1)
+        b = isn_bits
+        isn = jnp.stack([(b >> j) & 1 for j in range(8)], axis=1).reshape(-1)
+        return jnp.where(isn != 0, jnp.uint8(4), codes.astype(jnp.uint8))
+
+    return run
+
+
 def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHUNK,
                           bf_chunk: int | None = None, codes: np.ndarray | None = None):
     """Build a genome's code stream ONCE and upload it ONCE, padded so
@@ -270,7 +295,12 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     need = -(-need // bucket) * bucket
     buf = np.full(need, 4, dtype=np.uint8)
     buf[: len(stream.codes)] = stream.codes
-    dev_buf = jax.device_put(jnp.asarray(buf))
+    # upload 2-bit-packed codes + a 1-bit N/separator bitmap (37.5 MB
+    # per 100 Mbp instead of 100 MB — host->device runs ~30-70 MB/s over
+    # the tunnel) and reconstruct the uint8 code buffer on device
+    packed2 = _pack_stream_host(buf)
+    isn = np.packbits(buf == 4, bitorder="little")
+    dev_buf = _unpack_stream_fn(need)(jnp.asarray(packed2), jnp.asarray(isn))
     return stream, legit, dev_buf, n_segs_bf
 
 

@@ -110,3 +110,33 @@ def test_common_bf_from_shared_stream_bit_equal(genomes):
         entries, k, direct.num_bits, chunk=chunk
     )
     assert (np.asarray(direct.words) == np.asarray(shared.words)).all()
+
+
+def test_insert_words_edge_bits():
+    """Direct insert_words edges: max bit index (sentinel collision at
+    bits_log2=32... approximated here at small sizes), invalid routing,
+    duplicate-word mask OR."""
+    import jax.numpy as jnp
+
+    from ntsynt_tpu.ops import bloom
+
+    for bits_log2 in (16, 20):
+        nbits = 1 << bits_log2
+        rng = np.random.default_rng(bits_log2)
+        canon = rng.integers(0, 2**64, 4096, dtype=np.uint64)
+        # force some entries to the MAX bit index and some duplicates
+        canon[:7] = (canon[:7] & ~np.uint64(nbits - 1)) | np.uint64(nbits - 1)
+        canon[7:20] = canon[0]
+        valid = rng.random(4096) < 0.8
+        valid[:3] = True
+        hi = jnp.asarray((canon >> np.uint64(32)).astype(np.uint32))
+        lo = jnp.asarray((canon & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        got = bloom.insert_words(
+            jnp.zeros(nbits // 32, jnp.uint32), hi, lo, jnp.asarray(valid), bits_log2
+        )
+        oracle = bloom.NumpyBloomFilter(nbits, 24)
+        oracle.insert(canon, valid)
+        got_bits = np.unpackbits(
+            np.asarray(got).view(np.uint8), bitorder="little"
+        ).astype(bool)
+        assert (got_bits == oracle.bits).all()
