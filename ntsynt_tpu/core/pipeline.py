@@ -175,6 +175,7 @@ class NtSyntTPU:
         # download never contends with sketch dispatches).
         common_bf = repeat_bf = None
         save_threads = []
+        artifact_threads = []
         import threading
 
         if cfg.common:
@@ -189,10 +190,11 @@ class NtSyntTPU:
                         log(f"Reusing {bf_path} (stub: deterministic on-device rebuild)")
                     ordered = sorted(genomes.values(), key=lambda g: g.path)
                     num_bits = bf_build.bf_size_bits(ordered, cfg.fpr)
-                    entries = []
-                    for g in ordered:
-                        stream, legit, dev_buf, n_segs_bf = _prepared(g.name)
-                        entries.append((g.name, dev_buf, n_segs_bf))
+                    # lazy entries: each genome's host stream build/pack
+                    # overlaps the previous level's async device dispatch
+                    entries = [
+                        (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
+                    ]
                     common_bf = bf_build.build_common_bf_from_device(
                         entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK
                     )
@@ -249,15 +251,25 @@ class NtSyntTPU:
                     )
                     prepared.pop(name, None)  # free the device buffer
                     if cfg.write_artifacts:
-                        recs = []
-                        for ci, cname in enumerate(sk.contig_names):
-                            mask = sk.contig_idx == ci
-                            seqs = [
-                                g.kmer_string(ci, int(p), cfg.k)
-                                for p in sk.positions[mask]
-                            ]
-                            recs.append((cname, sk.hashes[mask], sk.positions[mask], seqs))
-                        sketch_tsv.write_sketch_tsv(tsv_path, recs)
+                        # artifact-only (assemblies are built from `sk`
+                        # directly): the per-minimizer kmer_string loop +
+                        # file write run on a background thread
+                        def _write_tsv(sk=sk, g=g, tsv_path=tsv_path):
+                            recs = []
+                            for ci, cname in enumerate(sk.contig_names):
+                                mask = sk.contig_idx == ci
+                                seqs = [
+                                    g.kmer_string(ci, int(p), cfg.k)
+                                    for p in sk.positions[mask]
+                                ]
+                                recs.append(
+                                    (cname, sk.hashes[mask], sk.positions[mask], seqs)
+                                )
+                            sketch_tsv.write_sketch_tsv(tsv_path, recs)
+
+                        t = threading.Thread(target=_write_tsv)
+                        t.start()
+                        artifact_threads.append(t)
                 assemblies[name] = AssemblyMinimizers.from_sketch(
                     sk, genome=g, repeat_canon_filter=rep_filter
                 )
@@ -292,7 +304,7 @@ class NtSyntTPU:
             detector = SyntenyDetector(assemblies, params)
             out = detector.run()
 
-        for t in save_threads:  # background .bf saves must land on disk
+        for t in save_threads + artifact_threads:  # background artifact writes must land on disk
             t.join()
         if cfg.benchmark:
             self.timer.write_tsv(f"{prefix}.time.tsv")

@@ -152,13 +152,17 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     """Cascading common-k-mer BF over pre-uploaded device code buffers.
 
     Args:
-      entries: ordered [(name, dev_buf uint8, n_segs int)] — already in
-        the reference's deterministic lexicographic-path order
-        (src/ntsynt_make_common_bf.cpp:105-107). Each buffer must hold
-        at least ``n_segs * chunk + k - 1`` codes; k-mers containing
-        non-ACGT codes (contig separators, padding) hash invalid and are
-        skipped, so any stream layout with >= k-1 separator codes
-        between contigs inserts exactly the genome's k-mer set.
+      entries: ordered [(name, get) ...] where get() -> (dev_buf uint8,
+        n_segs int), OR [(name, dev_buf, n_segs) ...] — already in the
+        reference's deterministic lexicographic-path order
+        (src/ntsynt_make_common_bf.cpp:105-107). The callable form lets
+        the caller overlap each genome's host-side stream build/pack
+        with the previous level's (async) device dispatch. Each buffer
+        must hold at least ``n_segs * chunk + k - 1`` codes; k-mers
+        containing non-ACGT codes (contig separators, padding) hash
+        invalid and are skipped, so any stream layout with >= k-1
+        separator codes between contigs inserts exactly the genome's
+        k-mer set.
 
     One dispatch per cascade level; occupancy logging is deferred to the
     end so no host sync lands between levels.
@@ -166,15 +170,23 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     bits_log2 = num_bits.bit_length() - 1
     log(f"Building common Bloom filter ({num_bits // 8} bytes) over {len(entries)} genomes")
 
+    def resolve(e):
+        if len(e) == 2:
+            name, get = e
+            buf, n_segs = get()
+            return name, buf, n_segs
+        return e
+
     levels = []
     bf = bloom.DeviceBloomFilter(num_bits, k)
-    name0, buf0, n_segs0 = entries[0]
+    name0, buf0, n_segs0 = resolve(entries[0])
     if n_segs0 > 0:
         fn = _insert_stream_fn(k, chunk, bits_log2)
         bf.words = fn(buf0, jnp.int32(n_segs0), bf.words)
     levels.append((name0, _popcount_partials(bf.words)))
 
-    for name, buf, n_segs in entries[1:]:
+    for e in entries[1:]:
+        name, buf, n_segs = resolve(e)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
         if n_segs > 0:
             fn = _cascade_stream_fn(k, chunk, bits_log2)
