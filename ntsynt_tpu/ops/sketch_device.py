@@ -281,10 +281,21 @@ class DeviceSketcher:
             assert dev_buf.shape[0] >= self.required_len(nwin, k, w, seg)
             dbuf = dev_buf
         else:
-            need = self.required_len(nwin, k, w, seg)
-            buf = np.full(max(need, len(stream_codes)), 4, dtype=np.uint8)
+            # bucket the length (same scheme as prepare_shared_stream) so
+            # refinement-round re-sketches of varying condensed sizes hit
+            # the same compiled program, and upload 2-bit packed
+            from . import sketch as sketch_host
+
+            need = max(self.required_len(nwin, k, w, seg), len(stream_codes), 1)
+            bucket = max(1 << 23, 1 << (max(need - 1, 1).bit_length() - 4))
+            need = -(-need // bucket) * bucket
+            buf = np.full(need, 4, dtype=np.uint8)
             buf[: len(stream_codes)] = stream_codes
-            dbuf = jax.device_put(jnp.asarray(buf))
+            packed2 = sketch_host._pack_stream_host(buf)
+            isn = np.packbits(buf == 4, bitorder="little")
+            dbuf = sketch_host._unpack_stream_fn(need)(
+                jnp.asarray(packed2), jnp.asarray(isn)
+            )
         cw = jnp.zeros(1, jnp.uint32) if self.common_bf is None else self.common_bf.words
         rw = jnp.zeros(1, jnp.uint32) if self.repeat_bf is None else self.repeat_bf.words
 
