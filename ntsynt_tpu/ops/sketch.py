@@ -187,9 +187,16 @@ def sketch_genome(
     nwin = len(legit)
 
     if engine is None:
-        engine = "device" if jax.default_backend() == "tpu" else "chunk"
+        if jax.default_backend() == "tpu":
+            # tiny streams (refinement-round condensed genomes) are
+            # dispatch-latency bound on device; sketch them on the host
+            engine = "numpy" if (nwin <= NUMPY_MAX_WINDOWS and prepared is None) else "device"
+        else:
+            engine = "chunk"
 
-    if engine == "device" and nwin > 0:
+    if engine == "numpy":
+        sel = _sketch_numpy(stream, legit, k, w, common_bf, repeat_bf)
+    elif engine == "device" and nwin > 0:
         from .sketch_device import DeviceSketcher
 
         ds = DeviceSketcher(
@@ -302,6 +309,73 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     isn = np.packbits(buf == 4, bitorder="little")
     dev_buf = _unpack_stream_fn(need)(jnp.asarray(packed2), jnp.asarray(isn))
     return stream, legit, dev_buf, n_segs_bf
+
+
+NUMPY_MAX_WINDOWS = 1 << 21  # auto-use the host engine below this size
+
+
+def _np_sliding_argmin(keys: np.ndarray, w: int) -> np.ndarray:
+    """Leftmost-tie sliding argmin over u64 keys, O(n) via the same
+    two-pass block scheme as the device kernel (ops/winmin.py):
+    window [j, j+w) argmin = leftmost-min of (block-suffix at j,
+    next-block-prefix at j+w-1), suffix side winning ties."""
+    n = len(keys)
+    nw = n - w + 1
+    if nw <= 0:
+        return np.zeros(0, np.int64)
+    umax = np.uint64(0xFFFFFFFFFFFFFFFF)
+    nb = -(-n // w) + 1  # +1 so block b+1 always exists
+    K = np.full(nb * w, umax, dtype=np.uint64)
+    K[:n] = keys
+    K = K.reshape(nb, w)
+    cols = np.arange(w, dtype=np.int64)
+    # leftmost prefix argmin per (block, col)
+    pref = np.minimum.accumulate(K, axis=1)
+    new = np.empty((nb, w), dtype=bool)
+    new[:, 0] = True
+    new[:, 1:] = K[:, 1:] < pref[:, :-1]
+    pref_arg = np.maximum.accumulate(np.where(new, cols[None, :], -1), axis=1)
+    # leftmost suffix argmin per (block, col): scan right->left, ties
+    # move the argmin LEFT (<=)
+    Kr = K[:, ::-1]
+    prefr = np.minimum.accumulate(Kr, axis=1)
+    suf = prefr[:, ::-1]
+    newr = np.empty((nb, w), dtype=bool)
+    newr[:, 0] = True
+    newr[:, 1:] = Kr[:, 1:] <= prefr[:, :-1]
+    lastr = np.maximum.accumulate(np.where(newr, cols[None, :], -1), axis=1)
+    suf_arg = (w - 1) - lastr[:, ::-1]
+    # combine per window j = b*w + c
+    j = np.arange(nw, dtype=np.int64)
+    b, c = j // w, j % w
+    e = j + w - 1
+    eb, ec = e // w, e % w
+    sufv = suf[b, c]
+    prefv = pref[eb, ec]
+    take_suf = sufv <= prefv
+    arg = np.where(take_suf, b * w + suf_arg[b, c], eb * w + pref_arg[eb, ec])
+    return arg
+
+
+def _sketch_numpy(stream, legit, k, w, common_bf, repeat_bf):
+    """Host-vectorized sketching for small streams (refinement-round
+    condensed genomes): avoids per-call device dispatch latency; BF
+    probes (if any) are single batched device calls. Produces exactly
+    the device/chunk engines' selections (leftmost ties)."""
+    nwin = len(legit)
+    canon, out, valid = nthash.hash_sequence_np(stream.codes, k)
+    if len(out) == 0:
+        return np.zeros(0, np.int64)
+    if common_bf is not None and valid.any():
+        valid = valid & _probe_np(common_bf, canon)
+    if repeat_bf is not None and valid.any():
+        valid = valid & ~_probe_np(repeat_bf, canon)
+    keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+    arg = _np_sliding_argmin(keys, w)[:nwin]
+    ok = legit[: len(arg)] & valid[arg]
+    if not ok.any():
+        return np.zeros(0, np.int64)
+    return np.unique(arg[ok]).astype(np.int64)
 
 
 def _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf):

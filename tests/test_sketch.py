@@ -202,3 +202,37 @@ def test_device_engine_overflow_fallback():
     finally:
         winmin._use_pallas = lambda: False
         winmin_pallas.block_scans_pallas = orig_scan
+
+
+@pytest.mark.parametrize("w", [10, 100, 333])
+def test_numpy_engine_matches_chunk(w):
+    """The host engine (small-stream fast path used by refinement-round
+    re-sketches on TPU) must select exactly the chunk engine's
+    minimizers, including N runs, repeated sequence (hash ties), and
+    multi-contig separators."""
+    rng = np.random.default_rng(w)
+    k = 24
+    rep = rng.integers(0, 4, 400).astype(np.uint8)
+    contigs = [
+        np.concatenate([rep, _rand_contig(rng, 3_000, n_prob=0.01), rep, rep]),
+        _rand_contig(rng, 2_000),
+        _rand_contig(rng, w + k - 2),  # short contig (no full window)
+        np.concatenate([rep, rep]),
+    ]
+    g = _genome_from_contigs(contigs)
+    a = sketch.sketch_genome(g, k, w, engine="numpy")
+    b = sketch.sketch_genome(g, k, w, engine="chunk")
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.contig_idx, b.contig_idx)
+    np.testing.assert_array_equal(a.hashes, b.hashes)
+
+
+def test_np_sliding_argmin_ties_and_blocks():
+    """_np_sliding_argmin: exhaustive check vs np.argmin (leftmost) on a
+    tie-heavy array across several window sizes incl. w > n/2."""
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 6, 500).astype(np.uint64)
+    for w in (1, 2, 7, 64, 251, 499, 500):
+        arg = sketch._np_sliding_argmin(keys, w)
+        for j in range(len(keys) - w + 1):
+            assert arg[j] == j + int(np.argmin(keys[j : j + w])), (w, j)
