@@ -140,7 +140,17 @@ def bf_size_bits(genomes, fpr: float, bf_bytes: int | None = None) -> int:
     if bf_bytes is not None:
         return bloom.pow2_bits(bf_bytes * 8)
     first = sorted(genomes, key=lambda g: g.path)[0]
-    return bloom.pow2_bits(bloom.reference_bf_bits(first.total_bases, fpr))
+    requested = bloom.reference_bf_bits(first.total_bases, fpr)
+    bits = bloom.pow2_bits(requested)
+    if bits < requested / 1.5:  # HBM cap engaged (not mere pow2 rounding)
+        import math
+
+        eff = 1.0 - math.exp(-first.total_bases / bits)
+        log(
+            f"Bloom filter capped at {bits // 8} bytes to fit device HBM; "
+            f"effective FPR ~{eff:.3f} (requested {fpr})"
+        )
+    return bits
 
 
 def stream_segments(n_kmers: int, chunk: int) -> int:

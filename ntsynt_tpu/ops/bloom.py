@@ -38,12 +38,18 @@ def reference_bf_bits(genome_size: int, fpr: float) -> int:
     return int(math.ceil(-genome_size / math.log(1.0 - fpr)))
 
 
-def pow2_bits(requested_bits: int) -> int:
-    """Round a bit count to the nearest power of two in [2^16, 2^36]."""
+def pow2_bits(requested_bits: int, max_log2: int = 35) -> int:
+    """Round a bit count to the nearest power of two in [2^16, 2^max].
+
+    The default cap (2^35 bits = 4 GiB of words) keeps the cascade's
+    peak footprint (prev level + new level + code stream) inside a
+    single chip's 16 GB HBM at 3 Gbp genome scale; capping raises the
+    effective FPR, which the reference documents as its own memory/FPR
+    trade (README.md:176 — higher --fpr lowers peak RAM)."""
     requested_bits = max(requested_bits, 1 << 16)
     lg = math.log2(requested_bits)
     b = int(round(lg))
-    b = min(max(b, 16), 36)
+    b = min(max(b, 16), max_log2)
     return 1 << b
 
 
@@ -131,7 +137,7 @@ def _bit_index(canon_hi, canon_lo, bits_log2: int):
     return word, mask
 
 
-def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int):
+def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int, scratch: bool | None = None):
     """Pure scatter-OR insert (jit-safe; also usable inside shard_map).
 
     Strategy (measured on hardware; XLA-TPU gathers run ~50 M elem/s and
@@ -178,6 +184,16 @@ def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int):
     run_end = word != nxt
     keep = run_end & ~sent_run
     scatter_idx = jnp.where(keep, word, jnp.int32(n_words))
+    if scratch is None:
+        scratch = bits_log2 < 35
+    if not scratch:
+        # huge filters (words >= 4 GiB): gather-merge-scatter in place —
+        # slower (extra per-element gather) but avoids materializing a
+        # second word-array-sized scratch buffer
+        ext = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
+        merged = ext[scatter_idx] | mask
+        ext = ext.at[scatter_idx].set(jnp.where(keep, merged, jnp.uint32(0)), mode="drop")
+        return ext[:-1]
     z = jnp.zeros(n_words + 1, jnp.uint32)
     z = z.at[scatter_idx].set(jnp.where(keep, mask, jnp.uint32(0)), mode="drop")
     return words | z[:-1]

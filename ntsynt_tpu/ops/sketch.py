@@ -243,25 +243,38 @@ def sketch_genome(
 
 
 def _pack_stream_host(buf: np.ndarray) -> np.ndarray:
-    """2-bit-pack a code buffer (len divisible by 4); code 4 packs as 0
-    and is restored from the separate N-bitmap on device."""
-    v = (buf & 3).reshape(-1, 4)
-    return v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4) | (v[:, 3] << 6)
+    """2-bit-pack a code buffer (len divisible by 4) in PLANAR layout:
+    byte b holds codes [b, b+n/4, b+2n/4, b+3n/4]. Interleaved layout
+    would force the device unpack through a [n/4, 4] intermediate whose
+    minor dim TPU tiling pads 4->128 (a 32x memory blowup — observed as
+    a 32 GB allocation at 1 Gbp); planar unpack is pure 1-D
+    concatenation. Code 4 packs as 0 and is restored from the separate
+    N-bitmap."""
+    v = (buf & 3).reshape(4, -1)
+    return v[0] | (v[1] << 2) | (v[2] << 4) | (v[3] << 6)
+
+
+def _pack_nbits_host(buf: np.ndarray) -> np.ndarray:
+    """Planar 1-bit pack of the N/separator mask (len divisible by 8)."""
+    m = (buf == 4).astype(np.uint8).reshape(8, -1)
+    out = m[0]
+    for j in range(1, 8):
+        out = out | (m[j] << j)
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def _unpack_stream_fn(out_len: int):
-    """codes[i] = 4 if N-bit set else 2-bit code (dense VPU ops only)."""
+    """codes[i] = 4 if N-bit set else 2-bit code (1-D VPU ops only)."""
     assert out_len % 8 == 0
 
     @jax.jit
     def run(packed2, isn_bits):
         p = packed2
-        codes = jnp.stack(
-            [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1
-        ).reshape(-1)
+        # planar layout: plane j holds positions [j*len/4, (j+1)*len/4)
+        codes = jnp.concatenate([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3])
         b = isn_bits
-        isn = jnp.stack([(b >> j) & 1 for j in range(8)], axis=1).reshape(-1)
+        isn = jnp.concatenate([(b >> j) & 1 for j in range(8)])
         return jnp.where(isn != 0, jnp.uint8(4), codes.astype(jnp.uint8))
 
     return run
@@ -306,7 +319,7 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     # per 100 Mbp instead of 100 MB — host->device runs ~30-70 MB/s over
     # the tunnel) and reconstruct the uint8 code buffer on device
     packed2 = _pack_stream_host(buf)
-    isn = np.packbits(buf == 4, bitorder="little")
+    isn = _pack_nbits_host(buf)
     dev_buf = _unpack_stream_fn(need)(jnp.asarray(packed2), jnp.asarray(isn))
     return stream, legit, dev_buf, n_segs_bf
 

@@ -292,7 +292,7 @@ class DeviceSketcher:
             buf = np.full(need, 4, dtype=np.uint8)
             buf[: len(stream_codes)] = stream_codes
             packed2 = sketch_host._pack_stream_host(buf)
-            isn = np.packbits(buf == 4, bitorder="little")
+            isn = sketch_host._pack_nbits_host(buf)
             dbuf = sketch_host._unpack_stream_fn(need)(
                 jnp.asarray(packed2), jnp.asarray(isn)
             )

@@ -140,3 +140,31 @@ def test_insert_words_edge_bits():
             np.asarray(got).view(np.uint8), bitorder="little"
         ).astype(bool)
         assert (got_bits == oracle.bits).all()
+
+
+def test_insert_words_scratchless_path_bit_equal():
+    """The huge-filter in-place insert (no scratch array, used when
+    words >= 4 GiB) must match the scatter-into-zeros path bit for bit."""
+    import jax.numpy as jnp
+
+    from ntsynt_tpu.ops import bloom
+
+    rng = np.random.default_rng(5)
+    bits_log2 = 18
+    canon = rng.integers(0, 2**64, 8192, dtype=np.uint64)
+    valid = rng.random(8192) < 0.9
+    hi = jnp.asarray((canon >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((canon & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    base = jnp.zeros((1 << bits_log2) // 32, jnp.uint32).at[7].set(jnp.uint32(9))
+    v = jnp.asarray(valid)
+    a = bloom.insert_words(base, hi, lo, v, bits_log2, scratch=True)
+    b = bloom.insert_words(base, hi, lo, v, bits_log2, scratch=False)
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_pow2_bits_hbm_cap():
+    from ntsynt_tpu.ops import bloom
+
+    assert bloom.pow2_bits(int(1.19e11)) == 1 << 35  # 3 Gbp @ fpr .025
+    assert bloom.pow2_bits(int(3.95e9)) == 1 << 32
+    assert bloom.pow2_bits(10) == 1 << 16
