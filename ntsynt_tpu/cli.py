@@ -92,6 +92,11 @@ def build_parser():
     parser.add_argument("--benchmark", help="Record per-stage wall-clock timings", action="store_true")
     parser.add_argument("-f", "--force", help="Recompute all artifacts", action="store_true")
     parser.add_argument("--dev", help="Developer mode: verbose logs, extra artifacts", action="store_true")
+    parser.add_argument(
+        "--mesh",
+        help="Shard Bloom-filter build + sketching over all visible devices",
+        action="store_true",
+    )
     parser.add_argument("-v", "--version", action="version", version=NTSYNT_TPU_VERSION)
     return parser
 
@@ -157,6 +162,7 @@ def main(argv=None):
         force=args.force,
         dry_run=args.dry_run,
         threads=args.t,
+        use_mesh=args.mesh,
     )
     out = NtSyntTPU(cfg).run()
     if out:

@@ -84,6 +84,7 @@ class PipelineConfig:
     dry_run: bool = False
     write_artifacts: bool = True
     bf_artifact: str = "stub"  # "stub" (resume marker; rebuild on device) | "full" (byte-complete .bf)
+    use_mesh: bool = False  # shard BF build + sketching over all visible devices
     out_dir: str = "."
     threads: int = 0  # host threads for the native FASTA reader (-t)
     chunk: int = sketch_ops.DEFAULT_CHUNK
@@ -192,12 +193,26 @@ class NtSyntTPU:
                     num_bits = bf_build.bf_size_bits(ordered, cfg.fpr)
                     # lazy entries: each genome's host stream build/pack
                     # overlaps the previous level's async device dispatch
-                    entries = [
-                        (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
-                    ]
-                    common_bf = bf_build.build_common_bf_from_device(
-                        entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK
-                    )
+                    if cfg.use_mesh:
+                        from ..parallel import mesh as pmesh
+
+                        common_bf = pmesh.distributed_common_bf(
+                            ordered, cfg.k, cfg.fpr
+                        )
+                    else:
+                        entries = [
+                            (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
+                        ]
+                        common_bf = bf_build.build_common_bf_from_device(
+                            entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK
+                        )
+                    # gigabase genomes: drop the device code buffers while
+                    # the two cascade levels (up to 4 GiB each) are alive;
+                    # the sketch stage re-prepares on demand (~3% of its
+                    # cost at 3 Gbp, but keeps peak HBM under budget)
+                    for g in ordered:
+                        if g.total_bases > 500_000_000:
+                            prepared.pop(g.name, None)
                     if cfg.write_artifacts:
                         if cfg.bf_artifact == "full":
                             save_threads.append((common_bf, bf_path))
@@ -239,16 +254,24 @@ class NtSyntTPU:
                 )
             else:
                 with self.timer.stage(f"sketch:{name}"):
-                    stream, legit, dev_buf, _ = _prepared(name)
-                    sk = sketch_ops.sketch_genome(
-                        g,
-                        cfg.k,
-                        cfg.w,
-                        common_bf=common_bf,
-                        repeat_bf=sketch_repeat,
-                        chunk=cfg.chunk,
-                        prepared=(stream, legit, dev_buf),
-                    )
+                    if cfg.use_mesh:
+                        from ..parallel import mesh as pmesh
+
+                        sk = pmesh.sharded_sketch_genome(
+                            g, cfg.k, cfg.w,
+                            common_bf=common_bf, repeat_bf=sketch_repeat,
+                        )
+                    else:
+                        stream, legit, dev_buf, _ = _prepared(name)
+                        sk = sketch_ops.sketch_genome(
+                            g,
+                            cfg.k,
+                            cfg.w,
+                            common_bf=common_bf,
+                            repeat_bf=sketch_repeat,
+                            chunk=cfg.chunk,
+                            prepared=(stream, legit, dev_buf),
+                        )
                     prepared.pop(name, None)  # free the device buffer
                     if cfg.write_artifacts:
                         # artifact-only (assemblies are built from `sk`

@@ -187,13 +187,16 @@ def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int, scratch: bool
     if scratch is None:
         scratch = bits_log2 < 35
     if not scratch:
-        # huge filters (words >= 4 GiB): gather-merge-scatter in place —
-        # slower (extra per-element gather) but avoids materializing a
-        # second word-array-sized scratch buffer
-        ext = jnp.concatenate([words, jnp.zeros(1, jnp.uint32)])
-        merged = ext[scatter_idx] | mask
-        ext = ext.at[scatter_idx].set(jnp.where(keep, merged, jnp.uint32(0)), mode="drop")
-        return ext[:-1]
+        # huge filters (words >= 4 GiB): gather-merge-scatter directly on
+        # ``words`` — slower (extra per-element gather) but allocates no
+        # second word-array-sized buffer; the dump index n_words is out
+        # of bounds, so dropped entries never read or write real words
+        # (the pre-scatter gather clamps, and those lanes are dropped),
+        # letting XLA alias the scatter output onto its input
+        merged = words[jnp.minimum(scatter_idx, jnp.int32(n_words - 1))] | mask
+        return words.at[scatter_idx].set(
+            jnp.where(keep, merged, jnp.uint32(0)), mode="drop"
+        )
     z = jnp.zeros(n_words + 1, jnp.uint32)
     z = z.at[scatter_idx].set(jnp.where(keep, mask, jnp.uint32(0)), mode="drop")
     return words | z[:-1]

@@ -106,13 +106,38 @@ def sharded_sketch_step(mesh, k: int, w: int, chunk: int, bits_log2: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_insert_step(mesh, k: int, chunk: int, bits_log2: int):
+    """Accumulating level-1 BF insert: every k-mer of the sharded tile
+    batch is inserted into a local replica, OR-reduced over the mesh,
+    and merged into the replicated accumulator."""
+
+    def local_step(tiles, acc_words):
+        def one(tile):
+            h = nthash.hash_tile(tile.astype(jnp.int32), k)
+            return h["canon_hi"], h["canon_lo"], h["valid"]
+
+        c_hi, c_lo, v = jax.vmap(one)(tiles)
+        local = bloom.insert_words(
+            jnp.zeros_like(acc_words),
+            c_hi.reshape(-1), c_lo.reshape(-1), v.reshape(-1), bits_log2,
+        )
+        return acc_words | allreduce_or(local)
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
     """Compile the cascade step: probe the previous-level BF for every
-    k-mer of sharded tiles and insert hits into a fresh local level,
-    OR-reduced across the mesh (the multi-chip form of
-    src/ntsynt_make_common_bf.cpp:140-160)."""
+    k-mer of sharded tiles, insert hits into a local replica, OR-reduce
+    it over the mesh and merge into the accumulating next level (the
+    multi-chip form of src/ntsynt_make_common_bf.cpp:140-160)."""
 
-    def local_step(tiles, prev_words):
+    def local_step(tiles, prev_words, acc_words):
         def one(tile):
             h = nthash.hash_tile(tile.astype(jnp.int32), k)
             present = bloom.bf_probe(prev_words, h["canon_hi"], h["canon_lo"], bits_log2)
@@ -123,31 +148,95 @@ def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
             jnp.zeros((1 << bits_log2) // 32, jnp.uint32),
             c_hi.reshape(-1), c_lo.reshape(-1), keep.reshape(-1), bits_log2,
         )
-        return allreduce_or(nxt)
+        return acc_words | allreduce_or(nxt)
 
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(AXIS), P()),
+        in_specs=(P(AXIS), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 18):
+def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
+                          chunk: int = 1 << 18, bf_bytes=None):
+    """Multi-chip cascading common-k-mer Bloom filter: each level's
+    inserts are data-parallel over the mesh (tiles sharded on dim 0)
+    with bitwise-OR all-reduces keeping the filter replica-consistent.
+    Bit-identical to ops.bf_build.build_common_bf (insertion sets
+    commute under OR)."""
+    from ..ops import bf_build
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    ordered = sorted(genomes, key=lambda g: g.path)
+    num_bits = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
+    bits_log2 = num_bits.bit_length() - 1
+    ins = sharded_insert_step(mesh, k, chunk, bits_log2)
+    casc = sharded_common_bf_probe_step(mesh, k, chunk, bits_log2)
+
+    prev = None
+    for g in ordered:
+        buf, n_segs = bf_build._stream_buffer(g, k, chunk)
+        acc = jnp.zeros(num_bits // 32, jnp.uint32)
+        if buf is not None:
+            span = chunk * d
+            for ws in range(0, n_segs * chunk, span):
+                tiles = jnp.asarray(make_tiles(buf[ws:], d, chunk, k, 1))
+                acc = ins(tiles, acc) if prev is None else casc(tiles, prev, acc)
+        prev = acc
+    return bloom.DeviceBloomFilter(num_bits, k, words=prev)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_filtered_sketch_step(mesh, k: int, w: int, chunk: int,
+                                 common_log2, repeat_log2):
+    """Sharded window-argmin sketch step with the common-BF ('solid',
+    indexlr -s) and repeat-BF (-r) filters fused into k-mer validity —
+    BF word arrays are replicated, probes are device-local gathers."""
+
+    def local_step(tiles, common_words, repeat_words):
+        def one(tile):
+            h = nthash.hash_tile(tile.astype(jnp.int32), k)
+            valid = h["valid"]
+            if common_log2 is not None:
+                valid = valid & bloom.bf_probe(
+                    common_words, h["canon_hi"], h["canon_lo"], common_log2
+                )
+            if repeat_log2 is not None:
+                valid = valid & ~bloom.bf_probe(
+                    repeat_words, h["canon_hi"], h["canon_lo"], repeat_log2
+                )
+            key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
+            key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
+            arg, min_hi, min_lo = winmin.sliding_argmin_val(key_hi, key_lo, w)
+            win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+            return arg.astype(jnp.int32), win_valid
+
+        return jax.vmap(one)(tiles)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 18,
+                          common_bf=None, repeat_bf=None):
     """Data-parallel minimizer sketch over a device mesh.
 
     The genome's code stream is tiled into window chunks; all devices
     process a batch of tiles per step (dim-0 sharding), and the host
     reduces per-window argmins to the selected minimizer set — the
     multi-chip analog of the per-genome snakemake fan-out (SURVEY.md
-    §2.3). Results are identical to ops.sketch.sketch_genome.
-
-    Bloom-filter filtering is not fused here (pass the sketch through
-    the single-chip path for -s/-r semantics); this entry point is the
-    scale-out skeleton exercised by dryrun_multichip and the CPU-mesh
-    tests.
+    §2.3). Results are identical to ops.sketch.sketch_genome, including
+    fused common/repeat BF filtering (indexlr -s/-r semantics).
     """
     from ..ops import sketch as sketch_ops
 
@@ -156,15 +245,20 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 1
     stream = sketch_ops._Stream(genome, k, w)
     legit = stream.legit_windows()
     nwin = len(legit)
-    step = sharded_sketch_step(mesh, k, w, chunk, 16)
-    words = jnp.zeros((1 << 16) // 32, jnp.uint32)
+    step = sharded_filtered_sketch_step(
+        mesh, k, w, chunk,
+        None if common_bf is None else common_bf.bits_log2,
+        None if repeat_bf is None else repeat_bf.bits_log2,
+    )
+    cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
+    rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
 
     selected = []
     tiles_per_call = d
     span = chunk * tiles_per_call
     for ws in range(0, nwin, span):
         tiles = make_tiles(stream.codes[ws:], tiles_per_call, chunk, k, w)
-        args, win_valid, words = step(jnp.asarray(tiles), words)
+        args, win_valid = step(jnp.asarray(tiles), cw, rw)
         args = np.asarray(args)
         win_valid = np.asarray(win_valid)
         for t in range(tiles_per_call):
@@ -184,6 +278,10 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 1
         o, ln = int(genome.offsets[i]), int(genome.lengths[i])
         ccodes = genome.codes[o : o + ln]
         canon, out, valid = sketch_ops.nthash.hash_sequence_np(ccodes, k)
+        if common_bf is not None and valid.any():
+            valid = valid & sketch_ops._probe_np(common_bf, canon)
+        if repeat_bf is not None and valid.any():
+            valid = valid & ~sketch_ops._probe_np(repeat_bf, canon)
         if valid.any():
             keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
             extra_ci.append(i)

@@ -90,7 +90,7 @@ def test_multichip_cascade_probe(mesh8):
     # level 2: cascade with g2
     casc = pmesh.sharded_common_bf_probe_step(mesh8, k, chunk // 2, bits_log2)
     tiles2 = pmesh.make_tiles(g2, 8, chunk // 2, k, 1)
-    words2 = casc(jnp.asarray(tiles2), words)
+    words2 = casc(jnp.asarray(tiles2), words, jnp.zeros_like(words))
 
     # common kmers of both genomes must probe positive in level 2
     canon2, _, valid2 = nthash.hash_sequence_np(g2, k)
@@ -123,3 +123,51 @@ def test_sharded_sketch_genome_matches_single(mesh8):
     assert (got.positions == want.positions).all()
     assert (got.contig_idx == want.contig_idx).all()
     assert (got.hashes == want.hashes).all()
+
+
+def test_distributed_common_bf_bit_equal(mesh8):
+    """Mesh BF cascade must be bit-identical to the single-device
+    builder (insert sets commute under OR)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bf_build import _genome
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 4, 9_000).astype(np.uint8)
+    b = a.copy()
+    b[::211] = (b[::211] + 2) % 4
+    genomes = [_genome(a, "a.fa"), _genome(b, "b.fa")]
+    from ntsynt_tpu.ops import bf_build
+
+    single = bf_build.build_common_bf(genomes, 20, fpr=0.025, chunk=1 << 12)
+    dist = pmesh.distributed_common_bf(genomes, 20, fpr=0.025, mesh=mesh8, chunk=1 << 9)
+    assert (np.asarray(single.words) == np.asarray(dist.words)).all()
+
+
+def test_mesh_pipeline_blocks_identical(mesh8, tmp_path):
+    """Full pipeline with use_mesh=True must produce byte-identical
+    final blocks to the single-device pipeline."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_e2e import write_fasta, _cfg
+
+    from ntsynt_tpu.core.pipeline import NtSyntTPU
+    from dataclasses import replace
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 4, 60_000).astype(np.uint8)
+    mut = base.copy()
+    mut[20_000:30_000] = mut[20_000:30_000][::-1] ^ 3  # inversion
+    snp = rng.random(len(mut)) < 0.001
+    mut[snp] = (mut[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    fa = write_fasta(tmp_path / "mA.fa", [("chr1", base)])
+    fb = write_fasta(tmp_path / "mB.fa", [("chr1", mut)])
+    cfg = _cfg([str(fa), str(fb)], tmp_path, prefix="single")
+    out1 = NtSyntTPU(cfg).run()
+    cfg2 = replace(_cfg([str(fa), str(fb)], tmp_path, prefix="meshp"), use_mesh=True)
+    out2 = NtSyntTPU(cfg2).run()
+    b1 = [l.split("\t", 1)[1] for l in open(out1)]
+    b2 = [l.split("\t", 1)[1] for l in open(out2)]
+    assert b1 == b2
