@@ -239,13 +239,40 @@ class NtSyntTPU:
         if cfg.repeat_filter == "Filter":
             sketch_repeat = None  # filtering happens at read time instead
         assemblies = {}
+        # plan which genomes need fresh sketches (vs artifact reuse) up
+        # front so genome i+1's device sweep can be DISPATCHED before
+        # genome i's result is collected: i's host-side post-processing
+        # (position mapping, hash recompute, TSV prep) then overlaps
+        # i+1's device time. Overlap is gated to sub-gigabase genomes so
+        # at most two code streams + sweep outputs are resident in HBM.
+        plan = []
         for name, g in genomes.items():
             tsv_path = os.path.join(cfg.out_dir, f"{name}.k{cfg.k}.w{cfg.w}.tsv")
             bf_inputs = [f"{prefix}.common.bf"] if cfg.common and cfg.write_artifacts else []
             rep_filter = None
             if cfg.repeat_filter == "Filter" and repeat_bf is not None:
                 rep_filter = lambda canon, bf=repeat_bf: sketch_ops._probe_np(bf, canon)
-            if rep_filter is None and self._artifact_fresh(tsv_path, g.path, *bf_inputs):
+            fresh = rep_filter is not None or not self._artifact_fresh(
+                tsv_path, g.path, *bf_inputs
+            )
+            plan.append((name, g, tsv_path, rep_filter, fresh))
+
+        overlap_ok = not cfg.use_mesh and all(
+            g.total_bases <= 500_000_000 for _, g, *_ in plan
+        )
+        fresh_queue = [p[0] for p in plan if p[4]]
+
+        def _dispatch(name):
+            stream, legit, dev_buf, _ = _prepared(name)
+            return sketch_ops.sketch_genome_dispatch(
+                genomes[name], cfg.k, cfg.w,
+                common_bf=common_bf, repeat_bf=sketch_repeat,
+                chunk=cfg.chunk, prepared=(stream, legit, dev_buf),
+            )
+
+        handles = {}
+        for name, g, tsv_path, rep_filter, fresh in plan:
+            if not fresh:
                 # snakemake-style resume: reuse the sketch artifact
                 log(f"Reusing {tsv_path}")
                 records = sketch_tsv.read_sketch_tsv(tsv_path)
@@ -262,16 +289,11 @@ class NtSyntTPU:
                             common_bf=common_bf, repeat_bf=sketch_repeat,
                         )
                     else:
-                        stream, legit, dev_buf, _ = _prepared(name)
-                        sk = sketch_ops.sketch_genome(
-                            g,
-                            cfg.k,
-                            cfg.w,
-                            common_bf=common_bf,
-                            repeat_bf=sketch_repeat,
-                            chunk=cfg.chunk,
-                            prepared=(stream, legit, dev_buf),
-                        )
+                        h = handles.pop(name, None) or _dispatch(name)
+                        fresh_queue.remove(name)
+                        if overlap_ok and fresh_queue and fresh_queue[0] not in handles:
+                            handles[fresh_queue[0]] = _dispatch(fresh_queue[0])
+                        sk = sketch_ops.sketch_genome_collect(h)
                     prepared.pop(name, None)  # free the device buffer
                     if cfg.write_artifacts:
                         # artifact-only (assemblies are built from `sk`

@@ -26,10 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import bloom, nthash
+from . import bf_sweep, bloom, nthash
 from ..utils import log
 
 DEFAULT_CHUNK = 1 << 22
+
+
+def _sweep_mode(bits_log2: int):
+    """Binned Pallas sweep mode for this filter size (None = plain XLA
+    scatter path; see ops/bf_sweep.py)."""
+    return bf_sweep.mode() if bf_sweep.supported(bits_log2) else None
 
 
 def _stream_buffer(genome, k: int, chunk: int, codes: np.ndarray | None = None):
@@ -61,12 +67,16 @@ def _segment_hashes(codes_buf, i, k: int, chunk: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _insert_stream_fn(k: int, chunk: int, bits_log2: int):
+def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(codes_buf, n_segs, words):
         def body(i, words):
             hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
-            return bloom.insert_words(words, hi, lo, valid, bits_log2)
+            if sweep is None:
+                return bloom.insert_words(words, hi, lo, valid, bits_log2)
+            return bf_sweep.insert_segment(
+                words, hi, lo, valid, bits_log2, interpret=(sweep == "interpret")
+            )
 
         return jax.lax.fori_loop(0, n_segs, body, words)
 
@@ -74,13 +84,20 @@ def _insert_stream_fn(k: int, chunk: int, bits_log2: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _cascade_stream_fn(k: int, chunk: int, bits_log2: int):
+def _cascade_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
     @functools.partial(jax.jit, donate_argnums=(3,))
     def run(codes_buf, n_segs, prev_words, new_words):
         def body(i, new_words):
             hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
-            present = bloom.bf_probe(prev_words, hi, lo, bits_log2)
-            return bloom.insert_words(new_words, hi, lo, valid & present, bits_log2)
+            if sweep is None:
+                present = bloom.bf_probe(prev_words, hi, lo, bits_log2)
+                return bloom.insert_words(
+                    new_words, hi, lo, valid & present, bits_log2
+                )
+            return bf_sweep.cascade_segment(
+                prev_words, new_words, hi, lo, valid, bits_log2,
+                interpret=(sweep == "interpret"),
+            )
 
         return jax.lax.fori_loop(0, n_segs, body, new_words)
 
@@ -187,11 +204,12 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
             return name, buf, n_segs
         return e
 
+    sweep = _sweep_mode(bits_log2)
     levels = []
     bf = bloom.DeviceBloomFilter(num_bits, k)
     name0, buf0, n_segs0 = resolve(entries[0])
     if n_segs0 > 0:
-        fn = _insert_stream_fn(k, chunk, bits_log2)
+        fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
         bf.words = fn(buf0, jnp.int32(n_segs0), bf.words)
     levels.append((name0, _popcount_partials(bf.words)))
 
@@ -199,7 +217,7 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
         name, buf, n_segs = resolve(e)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
         if n_segs > 0:
-            fn = _cascade_stream_fn(k, chunk, bits_log2)
+            fn = _cascade_stream_fn(k, chunk, bits_log2, sweep)
             nxt.words = fn(buf, jnp.int32(n_segs), bf.words, nxt.words)
         bf = nxt
         levels.append((name, _popcount_partials(bf.words)))

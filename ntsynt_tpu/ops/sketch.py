@@ -178,6 +178,25 @@ def sketch_genome(
         the genome's code stream (shared with the BF builders) instead
         of rebuilding and re-uploading it here.
     """
+    return sketch_genome_collect(
+        sketch_genome_dispatch(
+            genome, k, w,
+            common_bf=common_bf, repeat_bf=repeat_bf, chunk=chunk,
+            codes=codes, engine=engine, prepared=prepared,
+        )
+    )
+
+
+def sketch_genome_dispatch(
+    genome, k, w, common_bf=None, repeat_bf=None, chunk=DEFAULT_CHUNK,
+    codes=None, engine=None, prepared=None,
+):
+    """Phase 1 of sketch_genome: build/acquire the code stream and issue
+    the device dispatch WITHOUT blocking on its result (jax dispatch is
+    async). The pipeline dispatches genome i+1 before collecting genome
+    i so i's host-side post-processing (contig mapping, hash recompute,
+    TSV prep) overlaps i+1's device sweep. Host engines (numpy/chunk)
+    run eagerly here. Finish with sketch_genome_collect."""
     dev_buf = None
     if prepared is not None:
         stream, legit, dev_buf = prepared
@@ -194,17 +213,35 @@ def sketch_genome(
         else:
             engine = "chunk"
 
+    sel = pending = sketcher = None
     if engine == "numpy":
         sel = _sketch_numpy(stream, legit, k, w, common_bf, repeat_bf)
     elif engine == "device" and nwin > 0:
         from .sketch_device import DeviceSketcher
 
-        ds = DeviceSketcher(
+        sketcher = DeviceSketcher(
             k, w, seg_windows=chunk, common_bf=common_bf, repeat_bf=repeat_bf
         )
-        sel = ds.sketch_stream(stream.codes, legit, dev_buf=dev_buf)
+        pending = sketcher.dispatch_stream(stream.codes, legit, dev_buf=dev_buf)
     else:
         sel = _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf)
+    return dict(
+        genome=genome, k=k, w=w, common_bf=common_bf, repeat_bf=repeat_bf,
+        codes=codes, stream=stream, sel=sel, pending=pending, sketcher=sketcher,
+    )
+
+
+def sketch_genome_collect(handle) -> GenomeSketch:
+    """Phase 2 of sketch_genome: block on the device result (if any) and
+    run the host-side epilogue (position mapping, short-contig fallback,
+    hash recompute)."""
+    genome, k, w = handle["genome"], handle["k"], handle["w"]
+    common_bf, repeat_bf = handle["common_bf"], handle["repeat_bf"]
+    codes, stream = handle["codes"], handle["stream"]
+    if handle["sketcher"] is not None:
+        sel = handle["sketcher"].collect_stream(handle["pending"])
+    else:
+        sel = handle["sel"]
 
     cidx, cpos = stream.to_contig_pos(sel)
 

@@ -273,10 +273,18 @@ class DeviceSketcher:
             stream_codes (padded with 4s to >= required_len) — lets the
             pipeline share ONE upload between BF build and sketching.
         """
+        return self.collect_stream(self.dispatch_stream(stream_codes, legit, dev_buf))
+
+    def dispatch_stream(self, stream_codes: np.ndarray, legit: np.ndarray,
+                        dev_buf=None):
+        """Issue the device dispatch and return a pending handle WITHOUT
+        blocking on the result (jax dispatch is async): the pipeline
+        dispatches genome i+1 before collecting genome i, overlapping
+        genome i's host-side post-processing with i+1's device sweep."""
         k, w, seg = self.k, self.w, self.seg
         nwin = len(legit)
         if nwin <= 0:
-            return np.zeros(0, np.int64)
+            return None
         if dev_buf is not None:
             assert dev_buf.shape[0] >= self.required_len(nwin, k, w, seg)
             dbuf = dev_buf
@@ -308,6 +316,15 @@ class DeviceSketcher:
             self.k, self.w, seg, segs_cap, self._bits[0], self._bits[1], self.interpret
         )
         out = fn(dbuf, jnp.int32(n_segs), cw, rw)
+        return (out, starts, stream_codes, legit)
+
+    def collect_stream(self, pending) -> np.ndarray:
+        """Block on a dispatch_stream handle and map the compacted device
+        output back to sorted unique selected k-mer stream positions."""
+        if pending is None:
+            return np.zeros(0, np.int64)
+        out, starts, stream_codes, legit = pending
+        nwin = len(legit)
         all_vals, all_wins, all_cnt = jax.device_get(out)
         selected = []
         for si, ws in enumerate(starts):
