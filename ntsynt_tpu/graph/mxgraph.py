@@ -283,10 +283,13 @@ class MinimizerGraph:
             return eids[indptr[v] : indptr[v + 1]], other[indptr[v] : indptr[v + 1]]
 
         to_remove_nodes = []
-        for e in range(self.n_edges):
+        # vectorized prefilter: only deg-3/deg-3 edges can be bubble
+        # chords (the Python scan below is order-dependent — weight
+        # promotion is visible to later candidates — but candidates are
+        # a tiny fraction of edges, so the loop stays short)
+        cand = np.where((deg[self.eu] == 3) & (deg[self.ev] == 3))[0]
+        for e in cand:
             s, t = int(self.eu[e]), int(self.ev[e])
-            if deg[s] != 3 or deg[t] != 3:
-                continue
             ids_s, ns = incident(s)
             ids_t, nt = incident(t)
             if int((weight[ids_s] == max_edge_weight).sum()) != 1:
