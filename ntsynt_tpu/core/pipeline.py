@@ -303,10 +303,7 @@ class NtSyntTPU:
                             recs = []
                             for ci, cname in enumerate(sk.contig_names):
                                 mask = sk.contig_idx == ci
-                                seqs = [
-                                    g.kmer_string(ci, int(p), cfg.k)
-                                    for p in sk.positions[mask]
-                                ]
+                                seqs = g.kmer_strings(ci, sk.positions[mask], cfg.k)
                                 recs.append(
                                     (cname, sk.hashes[mask], sk.positions[mask], seqs)
                                 )

@@ -67,6 +67,22 @@ class PackedGenome:
     def kmer_string(self, contig_idx: int, pos: int, k: int) -> str:
         return self.contig_raw(contig_idx)[pos : pos + k].tobytes().decode()
 
+    def kmer_strings(self, contig_idx: int, positions, k: int) -> list:
+        """Batch k-mer decode: one gather + bytes view instead of a
+        per-minimizer Python loop (the sketch-TSV writer decodes ~2L/w
+        k-mers per genome; the loop's GIL time contended with the
+        synteny stage when the writer runs on a background thread)."""
+        pos = np.asarray(positions, dtype=np.int64)
+        if len(pos) == 0:
+            return []
+        o = int(self.offsets[contig_idx])
+        gather = (o + pos)[:, None] + np.arange(k, dtype=np.int64)[None, :]
+        if self.raw is not None:
+            mat = self.raw[gather]
+        else:
+            mat = _DECODE[np.minimum(self.codes[gather], 4)]
+        return [s.decode() for s in mat.reshape(-1).view(f"S{k}")]
+
 
 _NATIVE = None
 

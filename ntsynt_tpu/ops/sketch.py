@@ -471,10 +471,22 @@ def _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf):
 
 
 def _probe_np(bf, canon: np.ndarray) -> np.ndarray:
-    """Host-side probe of a DeviceBloomFilter (tiny batches only)."""
-    hi = (canon >> np.uint64(32)).astype(np.uint32)
-    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return np.asarray(bf.probe(jnp.asarray(hi), jnp.asarray(lo)))
+    """Host-side probe of a DeviceBloomFilter (tiny batches only).
+
+    The batch is zero-padded to a pow2 length: refinement rounds probe
+    with a different batch size each round/genome/run, and every fresh
+    shape would recompile bf_probe (~0.35 s per compile over the device
+    tunnel — measured as the bulk of a cold synteny stage). Pow2
+    bucketing bounds the distinct shapes to ~log2(range)."""
+    n = len(canon)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    bucket = max(1 << 14, 1 << (n - 1).bit_length())
+    hi = np.zeros(bucket, dtype=np.uint32)
+    lo = np.zeros(bucket, dtype=np.uint32)
+    hi[:n] = (canon >> np.uint64(32)).astype(np.uint32)
+    lo[:n] = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.asarray(bf.probe(jnp.asarray(hi), jnp.asarray(lo)))[:n]
 
 
 def _hash_at_positions(genome, k: int, cidx, cpos, codes=None):

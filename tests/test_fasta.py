@@ -91,3 +91,16 @@ def test_crlf(tmp_path):
     if fio._native_lib() is not None:
         gn = fio.read_fasta(str(p), native=True)
         assert (gn.codes == g.codes).all()
+
+
+def test_kmer_strings_batch(fa_file):
+    g = fio.read_fasta(fa_file, native=False)
+    k = 8
+    positions = np.arange(0, 50 - k + 1, 3)
+    batch = g.kmer_strings(0, positions, k)
+    assert batch == [g.kmer_string(0, int(p), k) for p in positions]
+    assert g.kmer_strings(0, np.zeros(0, np.int64), k) == []
+    # raw-less genome falls back to code decoding
+    g.raw = None
+    batch2 = g.kmer_strings(2, np.array([0, 5]), 4)
+    assert batch2 == [g.kmer_string(2, 0, 4), g.kmer_string(2, 5, 4)]
