@@ -101,6 +101,9 @@ class NtSyntTPU:
         self.cfg = config
         self.timer = StageTimer()
         set_verbose(config.dev)
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     # ------------------------------------------------------------------
     def _artifact_fresh(self, artifact: str, *inputs) -> bool:

@@ -416,10 +416,8 @@ def _sketch_numpy(stream, legit, k, w, common_bf, repeat_bf):
     canon, out, valid = nthash.hash_sequence_np(stream.codes, k)
     if len(out) == 0:
         return np.zeros(0, np.int64)
-    if common_bf is not None and valid.any():
-        valid = valid & _probe_np(common_bf, canon)
-    if repeat_bf is not None and valid.any():
-        valid = valid & ~_probe_np(repeat_bf, canon)
+    if (common_bf is not None or repeat_bf is not None) and valid.any():
+        valid = valid & _probe_stream_np(common_bf, repeat_bf, stream.codes, k)
     keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
     arg = _np_sliding_argmin(keys, w)[:nwin]
     ok = legit[: len(arg)] & valid[arg]
@@ -468,6 +466,72 @@ def _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf):
     if sel_stream:
         return np.unique(np.concatenate(sel_stream))
     return np.zeros(0, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_stream_fn(k: int, n_codes: int, common_log2, repeat_log2):
+    """Fused device probe over a packed code stream: unpack -> ntHash ->
+    BF probe(s) -> 1-bit-packed verdicts. One dispatch; the wire carries
+    2-bit codes in and packed bits out instead of 16 B/k-mer of hashes
+    in and 1 B/k-mer of bools out (the host->device tunnel runs
+    ~30-70 MB/s, so hash uploads dominated refinement-round probes)."""
+    assert n_codes % 8 == 0
+    n_kmers = n_codes - k + 1
+    n_out = -(-n_kmers // 8) * 8
+
+    @jax.jit
+    def run(packed2, isn_bits, common_words, repeat_words):
+        p = packed2
+        codes = jnp.concatenate([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3])
+        b = isn_bits
+        isn = jnp.concatenate([(b >> j) & 1 for j in range(8)])
+        codes = jnp.where(isn != 0, jnp.uint8(4), codes.astype(jnp.uint8))
+        h = nthash.hash_tile(codes, k)
+        hi, lo = h["canon_hi"], h["canon_lo"]
+        ok = jnp.ones(hi.shape, dtype=bool)
+        if common_log2 is not None:
+            ok = ok & bloom.bf_probe(common_words, hi, lo, common_log2)
+        if repeat_log2 is not None:
+            ok = ok & ~bloom.bf_probe(repeat_words, hi, lo, repeat_log2)
+        planes = jnp.pad(ok, (0, n_out - n_kmers)).reshape(8, n_out // 8)
+        byte = planes[0].astype(jnp.uint8)
+        for j in range(1, 8):
+            byte = byte | (planes[j].astype(jnp.uint8) << j)
+        return byte
+
+    return run
+
+
+def _probe_stream_np(common_bf, repeat_bf, codes: np.ndarray, k: int) -> np.ndarray:
+    """Probe every k-mer of a host code stream against the common/repeat
+    filters on device. Returns bool[n_kmers]: passes (-s and -r fused).
+    Results at positions whose k-mer spans an N/separator are garbage —
+    the caller masks them with its own validity."""
+    n_kmers = len(codes) - k + 1
+    if n_kmers <= 0:
+        return np.zeros(0, dtype=bool)
+    # pow2 bucketing bounds distinct compiled shapes (padding codes are
+    # N, whose k-mers probe to garbage and get sliced off)
+    n_codes = max(1 << 14, 1 << (len(codes) - 1).bit_length())
+    buf = np.full(n_codes, 4, dtype=np.uint8)
+    buf[: len(codes)] = codes
+    dummy = jnp.zeros(1, dtype=jnp.uint32)
+    fn = _probe_stream_fn(
+        k,
+        n_codes,
+        None if common_bf is None else common_bf.bits_log2,
+        None if repeat_bf is None else repeat_bf.bits_log2,
+    )
+    bits = np.asarray(
+        fn(
+            jnp.asarray(_pack_stream_host(buf)),
+            jnp.asarray(_pack_nbits_host(buf)),
+            dummy if common_bf is None else common_bf.words,
+            dummy if repeat_bf is None else repeat_bf.words,
+        )
+    )
+    planes = [(bits >> j) & 1 for j in range(8)]
+    return (np.concatenate(planes) != 0)[:n_kmers]
 
 
 def _probe_np(bf, canon: np.ndarray) -> np.ndarray:

@@ -44,6 +44,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     fasta_by_base = {os.path.basename(f): f for f in args.fastas}
 

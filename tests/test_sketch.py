@@ -236,3 +236,38 @@ def test_np_sliding_argmin_ties_and_blocks():
         arg = sketch._np_sliding_argmin(keys, w)
         for j in range(len(keys) - w + 1):
             assert arg[j] == j + int(np.argmin(keys[j : j + w])), (w, j)
+
+
+def test_numpy_engine_with_bfs_matches_chunk():
+    """The numpy engine's fused code-stream probe (_probe_stream_np:
+    device unpack -> ntHash -> BF probe -> packed bits) must reproduce
+    the chunk engine's per-chunk device probes bit-for-bit, across N
+    runs, contig separators, and pow2 padding."""
+    from ntsynt_tpu.ops.bloom import DeviceBloomFilter
+    from ntsynt_tpu.ops import nthash
+
+    rng = np.random.default_rng(7)
+    k, w = 24, 40
+    contigs = [
+        _rand_contig(rng, 3_000, n_prob=0.01),
+        _rand_contig(rng, 1_500),
+        _rand_contig(rng, w + k - 2),  # short contig
+    ]
+    g = _genome_from_contigs(contigs)
+    canon, _, valid = nthash.hash_sequence_np(contigs[0], k)
+    canon = canon[valid]
+    dbf = DeviceBloomFilter(1 << 16, k)
+    hi = (canon[::3] >> np.uint64(32)).astype(np.uint32)
+    lo = (canon[::3] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dbf.insert(jnp.asarray(hi), jnp.asarray(lo))
+    drf = DeviceBloomFilter(1 << 16, k)
+    hi = (canon[50:70] >> np.uint64(32)).astype(np.uint32)
+    lo = (canon[50:70] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    drf.insert(jnp.asarray(hi), jnp.asarray(lo))
+
+    for cbf, rbf in [(dbf, None), (None, drf), (dbf, drf)]:
+        a = sketch.sketch_genome(g, k, w, engine="numpy", common_bf=cbf, repeat_bf=rbf)
+        b = sketch.sketch_genome(g, k, w, engine="chunk", common_bf=cbf, repeat_bf=rbf)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.contig_idx, b.contig_idx)
+        np.testing.assert_array_equal(a.hashes, b.hashes)
