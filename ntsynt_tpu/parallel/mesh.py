@@ -162,11 +162,16 @@ def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
 
 def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
                           chunk: int = 1 << 18, bf_bytes=None):
-    """Multi-chip cascading common-k-mer Bloom filter: each level's
-    inserts are data-parallel over the mesh (tiles sharded on dim 0)
-    with bitwise-OR all-reduces keeping the filter replica-consistent.
-    Bit-identical to ops.bf_build.build_common_bf (insertion sets
-    commute under OR)."""
+    """Multi-chip cascading common-k-mer Bloom filter: each genome's own
+    filter is built data-parallel over the mesh (tiles sharded on dim 0,
+    bitwise-OR all-reduce keeping the replica consistent) and then
+    dense-ANDed with the previous level — bit-for-bit the reference's
+    insert-if-present cascade for a 1-hash BF (see
+    ops.bf_build._cascade_stream_fn) and bit-identical to
+    ops.bf_build.build_common_bf. The AND replaces the per-k-mer probe
+    of the previous level (serialized gathers) with one full-bandwidth
+    elementwise pass, and makes the levels independent: on a real pod
+    the genomes themselves can build concurrently."""
     from ..ops import bf_build
 
     mesh = mesh or make_mesh()
@@ -175,7 +180,6 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
     num_bits = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
     bits_log2 = num_bits.bit_length() - 1
     ins = sharded_insert_step(mesh, k, chunk, bits_log2)
-    casc = sharded_common_bf_probe_step(mesh, k, chunk, bits_log2)
 
     prev = None
     for g in ordered:
@@ -185,8 +189,8 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
             span = chunk * d
             for ws in range(0, n_segs * chunk, span):
                 tiles = jnp.asarray(make_tiles(buf[ws:], d, chunk, k, 1))
-                acc = ins(tiles, acc) if prev is None else casc(tiles, prev, acc)
-        prev = acc
+                acc = ins(tiles, acc)
+        prev = acc if prev is None else prev & acc
     return bloom.DeviceBloomFilter(num_bits, k, words=prev)
 
 
