@@ -203,4 +203,58 @@ void fastaio_free(void* h) {
   delete p;
 }
 
+// Host prep for the shared device upload (ops/sketch.prepare_shared_stream):
+// lay the genome's contigs out at stream positions starts[i] inside a
+// padded buffer of `out_len` bytes (everything not covered by a contig is
+// the N/separator code 4). One parallel pass; replaces two 100 MB numpy
+// copies (np.concatenate + buf[:] assignment) per genome.
+void fastaio_build_stream(const uint8_t* codes, const int64_t* offsets,
+                          const int64_t* lengths, const int64_t* starts,
+                          int64_t n_contigs, uint8_t* out, int64_t out_len,
+                          int threads) {
+#if defined(_OPENMP)
+  if (threads > 0) omp_set_num_threads(threads);
+#endif
+#pragma omp parallel
+  {
+    // separators/padding: fill the gaps [prev_end, next_start) and the tail
+#pragma omp for schedule(static) nowait
+    for (int64_t i = 0; i <= n_contigs; ++i) {
+      int64_t gap_begin = (i == 0) ? 0 : starts[i - 1] + lengths[i - 1];
+      int64_t gap_end = (i == n_contigs) ? out_len : starts[i];
+      if (gap_end > gap_begin)
+        memset(out + gap_begin, 4, (size_t)(gap_end - gap_begin));
+    }
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t i = 0; i < n_contigs; ++i)
+      memcpy(out + starts[i], codes + offsets[i], (size_t)lengths[i]);
+  }
+}
+
+// Planar 2-bit pack + planar N-bitmap of a code buffer (device upload
+// format; layout documented at ops/sketch._pack_stream_host). n must be
+// divisible by 8. packed2 is n/4 bytes, nbits n/8 bytes.
+void fastaio_pack2_nbits(const uint8_t* stream, int64_t n, uint8_t* packed2,
+                         uint8_t* nbits, int threads) {
+#if defined(_OPENMP)
+  if (threads > 0) omp_set_num_threads(threads);
+#endif
+  const int64_t q = n / 4, m = n / 8;
+#pragma omp parallel
+  {
+#pragma omp for schedule(static) nowait
+    for (int64_t b = 0; b < q; ++b) {
+      packed2[b] = (uint8_t)((stream[b] & 3) | ((stream[b + q] & 3) << 2) |
+                             ((stream[b + 2 * q] & 3) << 4) |
+                             ((stream[b + 3 * q] & 3) << 6));
+    }
+#pragma omp for schedule(static)
+    for (int64_t b = 0; b < m; ++b) {
+      uint8_t v = 0;
+      for (int j = 0; j < 8; ++j) v |= (uint8_t)((stream[b + j * m] == 4) << j);
+      nbits[b] = v;
+    }
+  }
+}
+
 }  // extern "C"

@@ -124,8 +124,48 @@ def _native_lib():
     lib.fastaio_names.argtypes = [ctypes.c_void_p]
     lib.fastaio_free.restype = None
     lib.fastaio_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "fastaio_build_stream"):
+        lib.fastaio_build_stream.restype = None
+        lib.fastaio_build_stream.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.fastaio_pack2_nbits.restype = None
+        lib.fastaio_pack2_nbits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
     _NATIVE = lib
     return lib
+
+
+def pack_stream_native(codes, offsets, lengths, starts, out_len: int, threads: int = 0):
+    """Lay contigs out at stream positions ``starts`` inside an
+    ``out_len``-byte padded buffer and return its device-upload packing
+    (planar 2-bit codes, planar N-bitmap) in one native OpenMP pass.
+    Returns None when the native library is unavailable (callers fall
+    back to the numpy path in ops/sketch)."""
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "fastaio_build_stream") or out_len % 8 != 0:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = len(lengths)
+    if n and int(starts[-1]) + int(lengths[-1]) > out_len:
+        return None
+    buf = np.empty(out_len, dtype=np.uint8)
+    lib.fastaio_build_stream(
+        codes.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+        starts.ctypes.data, n, buf.ctypes.data, out_len, threads,
+    )
+    packed2 = np.empty(out_len // 4, dtype=np.uint8)
+    nbits = np.empty(out_len // 8, dtype=np.uint8)
+    lib.fastaio_pack2_nbits(
+        buf.ctypes.data, out_len, packed2.ctypes.data, nbits.ctypes.data, threads
+    )
+    return packed2, nbits
 
 
 def _read_fasta_native(path: str, keep_raw: bool, lib, threads: int = 0) -> PackedGenome | None:

@@ -75,19 +75,28 @@ class _Stream:
         self.genome = genome
         self.k, self.w = k, w
         sep = w + k  # windows can never span two contigs
-        codes = genome.codes if codes is None else codes
-        parts, starts = [], []
-        pos = 0
+        self._src = genome.codes if codes is None else codes
+        self._codes = None  # materialized lazily: the device path packs
+        # straight from (src, offsets, starts) in native code and never
+        # needs the 100 MB concatenated copy
+        starts, pos = [], 0
         for i in range(genome.n_contigs):
-            o, ln = int(genome.offsets[i]), int(genome.lengths[i])
             starts.append(pos)
-            parts.append(codes[o : o + ln])
-            pos += ln
-            parts.append(np.full(sep, 4, dtype=np.uint8))
-            pos += sep
-        self.codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+            pos += int(genome.lengths[i]) + sep
         self.starts = np.asarray(starts, dtype=np.int64)
         self.total = pos
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            g = self.genome
+            buf = np.full(self.total, 4, dtype=np.uint8)
+            for i in range(g.n_contigs):
+                o, ln = int(g.offsets[i]), int(g.lengths[i])
+                s = int(self.starts[i])
+                buf[s : s + ln] = self._src[o : o + ln]
+            self._codes = buf if self.total else np.zeros(0, np.uint8)
+        return self._codes
 
     def legit_windows(self) -> np.ndarray:
         """bool [n_windows_stream]: windows fully inside one contig."""
@@ -341,7 +350,7 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     need = max(
         DeviceSketcher.required_len(len(legit), k, w, seg_windows),
         n_segs_bf * bf_chunk + k - 1,
-        len(stream.codes),
+        stream.total,
         1,
     )
     # bucket the buffer length so genomes of similar size hit the same
@@ -350,13 +359,21 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     # multiple of max(8 MB, need/16) => <= ~6% wasted upload
     bucket = max(1 << 23, 1 << (max(need - 1, 1).bit_length() - 4))
     need = -(-need // bucket) * bucket
-    buf = np.full(need, 4, dtype=np.uint8)
-    buf[: len(stream.codes)] = stream.codes
     # upload 2-bit-packed codes + a 1-bit N/separator bitmap (37.5 MB
     # per 100 Mbp instead of 100 MB — host->device runs ~30-70 MB/s over
     # the tunnel) and reconstruct the uint8 code buffer on device
-    packed2 = _pack_stream_host(buf)
-    isn = _pack_nbits_host(buf)
+    from ..io import fasta as fio
+
+    native = fio.pack_stream_native(
+        stream._src, genome.offsets, genome.lengths, stream.starts, need
+    )
+    if native is not None:
+        packed2, isn = native
+    else:
+        buf = np.full(need, 4, dtype=np.uint8)
+        buf[: stream.total] = stream.codes
+        packed2 = _pack_stream_host(buf)
+        isn = _pack_nbits_host(buf)
     dev_buf = _unpack_stream_fn(need)(jnp.asarray(packed2), jnp.asarray(isn))
     return stream, legit, dev_buf, n_segs_bf
 

@@ -104,3 +104,32 @@ def test_kmer_strings_batch(fa_file):
     g.raw = None
     batch2 = g.kmer_strings(2, np.array([0, 5]), 4)
     assert batch2 == [g.kmer_string(2, 0, 4), g.kmer_string(2, 5, 4)]
+
+
+def test_pack_stream_native_matches_numpy():
+    """fastaio_build_stream + fastaio_pack2_nbits == the numpy reference
+    (ops/sketch._pack_stream_host/_pack_nbits_host over the padded
+    stream layout)."""
+    if fio._native_lib() is None:
+        pytest.skip("native library not built")
+    from ntsynt_tpu.ops import sketch as sk
+
+    rng = np.random.default_rng(7)
+    lengths = np.array([137, 0, 64, 1021], dtype=np.int64)
+    codes = rng.integers(0, 5, size=int(lengths.sum()), dtype=np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    sep = 31
+    starts, pos = [], 0
+    for ln in lengths:
+        starts.append(pos)
+        pos += int(ln) + sep
+    starts = np.asarray(starts, dtype=np.int64)
+    need = -(-(pos + 100) // 8) * 8
+    out = fio.pack_stream_native(codes, offsets, lengths, starts, need)
+    assert out is not None
+    packed2, nbits = out
+    buf = np.full(need, 4, dtype=np.uint8)
+    for i, ln in enumerate(lengths):
+        buf[starts[i] : starts[i] + int(ln)] = codes[offsets[i] : offsets[i] + int(ln)]
+    assert np.array_equal(packed2, sk._pack_stream_host(buf))
+    assert np.array_equal(nbits, sk._pack_nbits_host(buf))
