@@ -68,6 +68,27 @@ class GenomeSketch:
             yield name, self.hashes[m], self.positions[m]
 
 
+class _StreamCodesView:
+    """Lazy ndarray-like view of a _Stream's code buffer supporting only
+    len() and slicing — what DeviceSketcher's host-exact recomputes
+    (first-window argmins, overflow tiles) need. Lets the device path
+    skip the full concatenated host copy when the upload already went
+    through the native packer."""
+
+    def __init__(self, stream: "_Stream"):
+        self._stream = stream
+
+    def __len__(self) -> int:
+        return self._stream.total
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            lo, hi, step = key.indices(self._stream.total)
+            assert step == 1
+            return self._stream.slice(lo, hi)
+        return self._stream.slice(key, key + 1)[0]
+
+
 class _Stream:
     """A genome's contigs packed into one code stream with separators."""
 
@@ -97,6 +118,26 @@ class _Stream:
                 buf[s : s + ln] = self._src[o : o + ln]
             self._codes = buf if self.total else np.zeros(0, np.uint8)
         return self._codes
+
+    def slice(self, lo: int, hi: int) -> np.ndarray:
+        """Codes [lo, hi) of the stream without materializing the whole
+        buffer (separator/padding positions read as 4)."""
+        lo, hi = max(int(lo), 0), min(int(hi), self.total)
+        if hi <= lo:
+            return np.zeros(0, np.uint8)
+        out = np.full(hi - lo, 4, dtype=np.uint8)
+        g = self.genome
+        i = max(int(np.searchsorted(self.starts, lo, side="right")) - 1, 0)
+        while i < len(self.starts) and int(self.starts[i]) < hi:
+            s, ln, o = int(self.starts[i]), int(g.lengths[i]), int(g.offsets[i])
+            a, b = max(lo, s), min(hi, s + ln)
+            if b > a:
+                out[a - lo : b - lo] = self._src[o + (a - s) : o + (b - s)]
+            i += 1
+        return out
+
+    def codes_view(self) -> "_StreamCodesView":
+        return _StreamCodesView(self)
 
     def legit_windows(self) -> np.ndarray:
         """bool [n_windows_stream]: windows fully inside one contig."""
@@ -231,7 +272,8 @@ def sketch_genome_dispatch(
         sketcher = DeviceSketcher(
             k, w, seg_windows=chunk, common_bf=common_bf, repeat_bf=repeat_bf
         )
-        pending = sketcher.dispatch_stream(stream.codes, legit, dev_buf=dev_buf)
+        stream_codes = stream.codes_view() if dev_buf is not None else stream.codes
+        pending = sketcher.dispatch_stream(stream_codes, legit, dev_buf=dev_buf)
     else:
         sel = _sketch_chunked(stream, legit, k, w, chunk, common_bf, repeat_bf)
     return dict(

@@ -271,3 +271,23 @@ def test_numpy_engine_with_bfs_matches_chunk():
         np.testing.assert_array_equal(a.positions, b.positions)
         np.testing.assert_array_equal(a.contig_idx, b.contig_idx)
         np.testing.assert_array_equal(a.hashes, b.hashes)
+
+
+def test_stream_slice_view_matches_codes():
+    """_Stream.slice / _StreamCodesView == the materialized buffer."""
+    from ntsynt_tpu.ops.sketch import _Stream
+
+    rng = np.random.default_rng(5)
+    contigs = [rng.integers(0, 5, n).astype(np.uint8) for n in (211, 0, 57, 403)]
+    g = _genome_from_contigs(contigs)
+    st = _Stream(g, k=8, w=16)
+    full = st.codes
+    view = st.codes_view()
+    assert len(view) == st.total == len(full)
+    cuts = [0, 1, 7, 210, 211, 212, 235, 236, 300, st.total - 1, st.total]
+    for lo in cuts:
+        for hi in cuts:
+            assert np.array_equal(view[lo:hi], full[lo:hi]), (lo, hi)
+    # out-of-range clamping mirrors ndarray slicing
+    assert np.array_equal(view[st.total - 5 : st.total + 99], full[st.total - 5 :])
+    assert view[3] == full[3]
