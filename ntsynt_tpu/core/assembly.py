@@ -131,14 +131,24 @@ class AssemblyMinimizers:
         )
 
     @classmethod
-    def from_tsv_records(cls, key, records, genome=None) -> "AssemblyMinimizers":
-        """Build from io.sketch_tsv.read_sketch_tsv output."""
+    def from_tsv_records(
+        cls, key, records, genome=None, repeat_out_filter=None
+    ) -> "AssemblyMinimizers":
+        """Build from io.sketch_tsv.read_sketch_tsv output.
+
+        repeat_out_filter: optional callable(printed u64[m]) -> bool mask
+        of minimizers to DROP (--filter Filter at TSV load time,
+        read_minimizers(repeat_bf), bin/ntsynt_synteny.py:604-607).
+        """
         names = [r[0] for r in records]
         hashes = np.concatenate([r[1] for r in records]) if records else np.zeros(0, np.uint64)
         cidx = np.concatenate(
             [np.full(len(r[1]), i, np.int32) for i, r in enumerate(records)]
         ) if records else np.zeros(0, np.int32)
         pos = np.concatenate([r[2] for r in records]) if records else np.zeros(0, np.int64)
+        if repeat_out_filter is not None and len(hashes):
+            keep = ~repeat_out_filter(hashes)
+            hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = [hashes[cidx == ci] for ci in range(len(names))]

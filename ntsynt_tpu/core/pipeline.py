@@ -342,7 +342,8 @@ class NtSyntTPU:
             dev=cfg.dev,
             prefix=prefix,
             common_bf=common_bf,
-            repeat_bf=sketch_repeat,
+            repeat_bf=repeat_bf,
+            repeat_filter=cfg.repeat_filter,
             chunk=cfg.chunk,
         )
         with self.timer.stage("synteny"):

@@ -47,7 +47,13 @@ class SyntenyParams:
     prefix: str = "out"
     # sketching filters
     common_bf: object = None  # DeviceBloomFilter or None
-    repeat_bf: object = None  # DeviceBloomFilter or None (indexlr -r mode)
+    repeat_bf: object = None  # DeviceBloomFilter or None
+    # None | 'Filter' | 'Indexlr' (bin/ntsynt_run.py:21): 'Indexlr'
+    # excludes repeat k-mers from minimizer CANDIDACY in refinement
+    # re-sketches (indexlr -r); 'Filter' drops selected minimizers
+    # post-hoc (read_minimizers(repeat_bf)). With a repeat_bf and no
+    # mode set, 'Indexlr' semantics apply (the initial-sketch -r path).
+    repeat_filter: str = None
     chunk: int = sketch_ops.DEFAULT_CHUNK
 
     def resolve_collinear_merge(self) -> int:
@@ -195,7 +201,18 @@ class SyntenyDetector:
             candidates = [int(n) for n in nb_v if int(n) not in visited]
             if not candidates:
                 break
-            assert len(candidates) == 1
+            if len(candidates) > 1:
+                # the reference asserts len==1 here (bin/ntsynt_synteny.py
+                # :327, inherently true post-filter in its runs); rather
+                # than crash on a degree-3 frontier we continue along the
+                # smallest-hash neighbour deterministically and warn
+                candidates.sort(key=lambda n: int(g.node_hash[n]))
+                print(
+                    "WARNING: erosion walk hit a branching frontier node; "
+                    "continuing along the smallest-hash neighbour",
+                    file=sys.stderr,
+                    flush=True,
+                )
             nxt = candidates[0]
             visited.add(nxt)
             if erode_target:
@@ -257,14 +274,22 @@ class SyntenyDetector:
             cond, seg_ctg, seg_off = rf.condensed_genome(
                 asm.genome, mask_ivs[a], new_w, p.k
             )
+            # generate_new_minimizers (bin/ntsynt_synteny.py:167-189):
+            # 'Indexlr' passes the repeat BF to the sketcher (-r,
+            # excluded from candidacy); 'Filter' re-sketches without it
+            # and drops selected minimizers post-hoc via read_minimizers
+            sketch_repeat = p.repeat_bf if p.repeat_filter != "Filter" else None
             sk = sketch_ops.sketch_genome(
                 cond,
                 p.k,
                 new_w,
                 common_bf=p.common_bf,
-                repeat_bf=p.repeat_bf,
+                repeat_bf=sketch_repeat,
                 chunk=p.chunk,
             )
+            if p.repeat_filter == "Filter" and p.repeat_bf is not None:
+                drop = sketch_ops._probe_np(p.repeat_bf, sk.canon)
+                sk = sk.subset(~drop)
             t_sketch = _time.perf_counter() - t0
             # remap synthetic segments -> original (contig, position);
             # read_minimizers semantics: drop within-assembly duplicates

@@ -120,6 +120,25 @@ def hash_sequence_np(codes: np.ndarray, k: int):
     return canon, out, ~bad
 
 
+def unmix_np(out: np.ndarray, k: int) -> np.ndarray:
+    """Invert the nte64 mix: printed hash -> canonical (pre-mix) hash.
+
+    ``out = t ^ (t >> 27)`` with ``t = canon * mult`` is invertible:
+    the xorshift-right undoes in ceil(64/27)=3 substitution steps and
+    the odd multiplier has a modular inverse mod 2^64. Lets the
+    --filter Filter repeat-BF path probe directly from a sketch TSV's
+    printed hashes (the BF key is the canonical hash; the reference
+    re-hashes the TSV's seq strings instead, bin/ntsynt_synteny.py:605).
+    """
+    out = np.asarray(out, dtype=np.uint64)
+    t = out.copy()
+    for _ in range(2):
+        t = out ^ (t >> np.uint64(MULTISHIFT))
+    mult = mix_multiplier(k)
+    inv = pow(mult, -1, 1 << 64)
+    return (t * np.uint64(inv)).astype(np.uint64)
+
+
 def hash_kmer_np(seq: str, k: int) -> int:
     """Hash one k-mer string; returns the printed (mixed) hash value."""
     lut = np.full(256, 4, dtype=np.uint8)

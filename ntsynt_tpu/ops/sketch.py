@@ -67,6 +67,14 @@ class GenomeSketch:
             m = self.contig_idx == ci
             yield name, self.hashes[m], self.positions[m]
 
+    def subset(self, keep: np.ndarray) -> "GenomeSketch":
+        """New sketch restricted to the boolean mask `keep`."""
+        return GenomeSketch(
+            name=self.name, k=self.k, w=self.w, contig_names=self.contig_names,
+            contig_idx=self.contig_idx[keep], positions=self.positions[keep],
+            hashes=self.hashes[keep], canon=self.canon[keep],
+        )
+
 
 class _StreamCodesView:
     """Lazy ndarray-like view of a _Stream's code buffer supporting only

@@ -28,8 +28,19 @@ def build_parser():
     parser.add_argument("-k", help="k-mer size used for minimizer step", required=True, type=int)
     parser.add_argument("-w", help="window size used for minimizers", required=True, type=int)
     parser.add_argument("-z", help="Minimum synteny block size (bp) [500]", type=int, default=500)
+    parser.add_argument(
+        "--filter", help="Type of repeat filtering", choices=["Filter", "Indexlr"], type=str
+    )
     parser.add_argument("--common", help="Common-kmer BF for minimizer selection", type=str)
-    parser.add_argument("--repeat", help="Repeat BF", type=str)
+    parser.add_argument(
+        "--repeat", help="Repeat BF (must be included if --filter is specified)", type=str
+    )
+    parser.add_argument(
+        "--btllib_t",
+        help="Number of host threads for reading fasta files [4]",
+        type=int,
+        default=4,
+    )
     parser.add_argument("--w-rounds", dest="w_rounds", default=[100, 10], nargs="+", type=int)
     parser.add_argument("--bp", help="Maximum tolerated indel size [500]", default=500, type=int)
     parser.add_argument(
@@ -48,7 +59,25 @@ def main(argv=None):
 
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    if args.filter and not args.repeat:
+        raise ValueError(
+            "If --filter is specified, must supply repeat Bloom filter with --repeat"
+        )
     fasta_by_base = {os.path.basename(f): f for f in args.fastas}
+
+    repeat_bf = DeviceBloomFilter.load(args.repeat) if args.repeat else None
+    # --filter Filter: drop TSV minimizers whose k-mer is in the repeat
+    # BF at load time (load_minimizers(repeat_bf), bin/ntsynt_synteny.py:
+    # 604-607); the BF key is the canonical hash, recovered from the
+    # printed hash via the invertible mix (ops/nthash.unmix_np).
+    rep_filter = None
+    if args.filter == "Filter" and repeat_bf is not None:
+        from .ops import sketch as sketch_ops
+        from .ops.nthash import unmix_np
+
+        rep_filter = lambda out_hashes: sketch_ops._probe_np(
+            repeat_bf, unmix_np(out_hashes, args.k)
+        )
 
     assemblies = {}
     for tsv in args.FILES:
@@ -68,14 +97,13 @@ def main(argv=None):
         fa_name = m.group(1)
         genome = None
         if fa_name in fasta_by_base:
-            genome = read_fasta(fasta_by_base[fa_name])
+            genome = read_fasta(fasta_by_base[fa_name], threads=args.btllib_t)
         records = read_sketch_tsv(tsv)
         assemblies[fa_name] = AssemblyMinimizers.from_tsv_records(
-            fa_name, records, genome=genome
+            fa_name, records, genome=genome, repeat_out_filter=rep_filter
         )
 
     common_bf = DeviceBloomFilter.load(args.common) if args.common else None
-    repeat_bf = DeviceBloomFilter.load(args.repeat) if args.repeat else None
     params = SyntenyParams(
         k=args.k,
         w=args.w,
@@ -86,6 +114,7 @@ def main(argv=None):
         collinear_merge=args.collinear_merge,
         w_rounds=tuple(args.w_rounds),
         simplify_graph=args.simplify_graph,
+        repeat_filter=args.filter,
         dev=args.dev,
         interarrivals=args.interarrivals,
         prefix=args.p,

@@ -80,11 +80,24 @@ def write_sequence_lengths(fai_paths, prefix: str) -> str:
 
 def write_links(blocks_tsv: str, prefix: str, min_length: int = 10000, colour_assembly: str | None = None) -> str:
     """<prefix>.links.tsv: pairwise links between consecutive assemblies
-    of each block (format_blocks_gggenomes.py:26-71).
+    of each block (format_blocks_gggenomes.py:26-61).
 
-    A block contributes links only if every printed extent passes
-    min_length in the reference's find_valid_block_ids sense (any row of
-    the block >= threshold marks the id valid; we keep that behavior).
+    Streaming semantics replicated exactly:
+      * valid ids = any row of the block with end-start >= min_length
+        (find_valid_block_ids);
+      * colour_block = the *last-seen* chromosome of the colour assembly
+        at flush time — state persists across blocks, so a block with no
+        colour-assembly row inherits the previous block's chromosome, and
+        a leading block before any colour row prints "None"
+        (format_blocks_gggenomes.py:52-55);
+      * the block inversion flag ignores the block's FIRST row (only rows
+        compared against a previous same-id row set it,
+        format_blocks_gggenomes.py:40);
+      * the final (EOF) flush reuses the block_type computed at the last
+        id boundary — the previous block's flag — mirroring the reference
+        (block_type is only reassigned on id change, line 48 vs 58-60).
+        For a single-block file (block_type never assigned; reference
+        would NameError) we compute it fresh instead of crashing.
     """
     rows = _read_rows(blocks_tsv)
     valid = {r.id for r in rows if int(r.end) - int(r.start) >= min_length}
@@ -96,21 +109,37 @@ def write_links(blocks_tsv: str, prefix: str, min_length: int = 10000, colour_as
             "block_id\tseq_id\tbin_id\tstart\tend\t"
             "seq_id2\tbin_id2\tstart2\tend2\tstrand\tblock_ori\tcolour_block\n"
         )
-        for group in _group_by_block(rows):
-            if group[0].id not in valid:
-                continue
-            inverted = any(r.strand == "-" for r in group)
-            block_type = "-" if inverted else "+"
-            target_chrom = next(
-                (r.chrom for r in group if r.genome == colour_assembly), group[0].chrom
-            )
-            for prev, cur in zip(group, group[1:]):
-                rel = "-" if cur.strand != prev.strand else "+"
-                fout.write(
-                    f"{cur.id}\t{prev.chrom}\t{prev.genome}\t{prev.start}\t{prev.end}\t"
-                    f"{cur.chrom}\t{cur.genome}\t{cur.start}\t{cur.end}\t{rel}\t"
-                    f"{block_type}\t{target_chrom}\n"
+        prev = None
+        pending: list[str] = []
+        cur_inv = False
+        block_type = None
+        target_chrom = None
+
+        def flush():
+            if prev is not None and prev.id in valid:
+                bt = block_type if block_type is not None else ("-" if cur_inv else "+")
+                for line in pending:
+                    fout.write(f"{line}\t{bt}\t{target_chrom}\n")
+
+        for r in rows:
+            if prev is not None and prev.id == r.id:
+                if r.strand == "-":
+                    cur_inv = True
+                rel = "-" if r.strand != prev.strand else "+"
+                pending.append(
+                    f"{r.id}\t{prev.chrom}\t{prev.genome}\t{prev.start}\t{prev.end}\t"
+                    f"{r.chrom}\t{r.genome}\t{r.start}\t{r.end}\t{rel}"
                 )
+            if prev is not None and prev.id != r.id:
+                block_type = "-" if cur_inv else "+"
+                flush()
+                pending = []
+                cur_inv = False
+            if r.genome == colour_assembly:
+                target_chrom = r.chrom
+            prev = r
+        if prev is not None:
+            flush()
     return path
 
 

@@ -113,3 +113,15 @@ def test_mul_const_random():
         fn = jax.jit(lambda h, l, c=c: u64.mul_const((h, l), c))
         got = u64.to_np64(*fn(jnp.asarray(hi), jnp.asarray(lo)))
         assert (got == want).all(), hex(c)
+
+
+def test_unmix_inverts_printed_hash():
+    """unmix_np recovers the canonical (pre-mix) hash from the printed
+    hash — the key the --filter Filter repeat-BF probe needs
+    (bin/ntsynt_synteny.py:604-607 re-hashes TSV seq strings instead)."""
+    rng = np.random.default_rng(7)
+    for k in (19, 24, 31):
+        codes = rng.integers(0, 4, 20_000).astype(np.uint8)
+        canon, out, ok = nthash.hash_sequence_np(codes, k)
+        rec = nthash.unmix_np(out, k)
+        assert np.array_equal(rec[ok], canon[ok])

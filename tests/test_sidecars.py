@@ -183,3 +183,130 @@ def test_viz_clis(tmp_path, capsys):
     outp = str(tmp_path / "pt.tsv")
     assert painting_main([tsv, "--target", "a.fa", "-o", outp]) == 0
     assert os.path.exists(outp)
+
+def test_write_links_streaming_semantics(tmp_path):
+    """Pin the reference's exact streaming quirks
+    (format_blocks_gggenomes.py:26-61):
+      * colour_block = last-seen colour-assembly chrom at flush time,
+        carried ACROSS blocks (a block with no colour row inherits it);
+      * the inversion flag ignores the block's first row;
+      * the EOF flush reuses the block_type of the PREVIOUS boundary.
+    """
+    tsv = tmp_path / "b.tsv"
+    # block 0: colour row (a.fa) on chrX; block 1: NO a.fa row (inherits
+    # chrX); block 2: first row is '-' but later rows '+' -> block_ori
+    # '+' at its own boundary; EOF block 3 genuinely inverted but must
+    # print block 2's type '+' (stale EOF flush).
+    tsv.write_text(
+        "0\ta.fa\tchrX\t0\t50000\t+\n"
+        "0\tb.fa\tchr1\t0\t50000\t+\n"
+        "1\tb.fa\tchr2\t0\t50000\t+\n"
+        "1\tc.fa\tchr2\t0\t50000\t+\n"
+        "2\tb.fa\tchr3\t0\t50000\t-\n"
+        "2\tc.fa\tchr3\t0\t50000\t+\n"
+        "3\tb.fa\tchr4\t0\t50000\t+\n"
+        "3\tc.fa\tchr4\t0\t50000\t-\n"
+    )
+    links = write_links(str(tsv), str(tmp_path / "v"), min_length=10000,
+                        colour_assembly="a.fa")
+    rows = [l.split("\t") for l in open(links).read().strip().split("\n")[1:]]
+    by_id = {r[0]: r for r in rows}
+    assert by_id["0"][11] == "chrX"
+    assert by_id["1"][11] == "chrX"  # carried across blocks
+    assert by_id["2"][10] == "+"     # first-row '-' exempt from the flag
+    assert by_id["2"][9] == "-"      # rel strand: '+' row vs prev '-' row
+    assert by_id["3"][10] == "+"     # EOF flush reuses block 2's type
+    assert by_id["3"][9] == "-"      # but the rel strand is its own
+
+
+def test_write_links_single_block_no_crash(tmp_path):
+    """Single-block file: the reference would NameError (block_type never
+    assigned before the EOF flush); we compute it fresh instead."""
+    tsv = tmp_path / "b.tsv"
+    tsv.write_text(
+        "0\ta.fa\tchr1\t0\t50000\t+\n"
+        "0\tb.fa\tchr1\t0\t50000\t-\n"
+    )
+    links = write_links(str(tsv), str(tmp_path / "v"), min_length=10000)
+    rows = [l.split("\t") for l in open(links).read().strip().split("\n")[1:]]
+    assert len(rows) == 1 and rows[0][10] == "-"
+
+
+def test_run_core_cli_repeat_filter_modes(tmp_path):
+    """--filter {Filter,Indexlr} with --repeat (bin/ntsynt_run.py:21-23):
+    'Filter' drops TSV minimizers whose canonical k-mer hash probes the
+    repeat BF at load time; 'Indexlr' threads the BF into refinement
+    re-sketches. Both must run end to end; Filter must actually drop
+    repeat-tandem minimizers."""
+    import numpy as np
+
+    from ntsynt_tpu.core.assembly import AssemblyMinimizers
+    from ntsynt_tpu.io.fasta import read_fasta
+    from ntsynt_tpu.io.sketch_tsv import read_sketch_tsv, write_sketch_tsv
+    from ntsynt_tpu.ops.bf_build import build_repeat_bf
+    from ntsynt_tpu.ops.nthash import unmix_np
+    from ntsynt_tpu.ops import sketch as sketch_ops
+    from ntsynt_tpu.run_core import main as run_main
+
+    rng = np.random.default_rng(11)
+    dec = np.array(list("ACGT"))
+    base = rng.integers(0, 4, 60_000)
+    # plant an exact tandem repeat so the repeat BF is non-trivial
+    base[40_000:42_000] = base[38_000:40_000]
+    mut = base.copy()
+    mut[20_000:30_000] = mut[20_000:30_000][::-1] ^ 3
+    for name, g in [("fa.fa", base), ("fb.fa", mut)]:
+        s = "".join(dec[g])
+        (tmp_path / name).write_text(
+            ">c1\n" + "\n".join(s[i : i + 70] for i in range(0, len(s), 70)) + "\n"
+        )
+    k, w = 24, 100
+    genomes = [read_fasta(str(tmp_path / n)) for n in ("fa.fa", "fb.fa")]
+    rep = build_repeat_bf(genomes, k)
+    rep_path = str(tmp_path / "rep.bf")
+    rep.save(rep_path)
+
+    tsvs = []
+    for g, name in zip(genomes, ("fa.fa", "fb.fa")):
+        sk = sketch_ops.sketch_genome(g, k, w, chunk=1 << 14)
+        recs = []
+        for ci, cname in enumerate(sk.contig_names):
+            m = sk.contig_idx == ci
+            seqs = [g.kmer_string(ci, int(p), k) for p in sk.positions[m]]
+            recs.append((cname, sk.hashes[m], sk.positions[m], seqs))
+        tsv = tmp_path / f"{name}.k{k}.w{w}.tsv"
+        write_sketch_tsv(str(tsv), recs)
+        tsvs.append(str(tsv))
+
+    # unit: the load-time Filter mask drops the tandem-repeat minimizers
+    recs = read_sketch_tsv(tsvs[0])
+    probe = lambda out_h: sketch_ops._probe_np(rep, unmix_np(out_h, k))
+    plain = AssemblyMinimizers.from_tsv_records("fa.fa", recs, genome=genomes[0])
+    filt = AssemblyMinimizers.from_tsv_records(
+        "fa.fa", recs, genome=genomes[0], repeat_out_filter=probe
+    )
+    assert len(filt.mx_info.sorted_hash) < len(plain.mx_info.sorted_hash)
+
+    # --filter requires --repeat
+    import pytest
+    with pytest.raises(ValueError):
+        run_main(tsvs + ["--fastas", str(tmp_path / "fa.fa"), str(tmp_path / "fb.fa"),
+                         "-k", str(k), "-w", str(w), "--filter", "Filter"])
+
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for mode in ("Filter", "Indexlr"):
+            rc = run_main(
+                tsvs
+                + ["--fastas", str(tmp_path / "fa.fa"), str(tmp_path / "fb.fa"),
+                   "-k", str(k), "-w", str(w), "--w-rounds", "50", "10",
+                   "--filter", mode, "--repeat", rep_path,
+                   "-p", f"flt_{mode}"]
+            )
+            assert rc == 0
+            rows = open(tmp_path / f"flt_{mode}.synteny_blocks.tsv").read().strip()
+            assert rows and any("\t-\t" in r for r in rows.split("\n"))
+    finally:
+        os.chdir(cwd)
