@@ -187,7 +187,7 @@ class NtSyntTPU:
             with self.timer.stage("make_common_bf"):
                 if self._artifact_fresh(bf_path, *cfg.fastas) and not _is_bf_stub(bf_path):
                     log(f"Reusing {bf_path}")
-                    common_bf = bloom.DeviceBloomFilter.load(bf_path)
+                    common_bf = bloom.load_bf(bf_path)
                 else:
                     stub_fresh = self._artifact_fresh(bf_path, *cfg.fastas)
                     if stub_fresh:
@@ -225,7 +225,7 @@ class NtSyntTPU:
             rbf_path = f"{prefix}.repeat.bf"
             with self.timer.stage("make_repeat_bf"):
                 if self._artifact_fresh(rbf_path, *cfg.fastas) and not _is_bf_stub(rbf_path):
-                    repeat_bf = bloom.DeviceBloomFilter.load(rbf_path)
+                    repeat_bf = bloom.load_bf(rbf_path)
                 else:
                     rstub_fresh = self._artifact_fresh(rbf_path, *cfg.fastas)
                     repeat_bf = bf_build.build_repeat_bf(

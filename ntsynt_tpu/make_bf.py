@@ -61,6 +61,10 @@ def common_main(argv=None) -> int:
     parser.add_argument("--bf", type=int, default=None,
                         help="Bloom filter size in bytes (optional)")
     parser.add_argument("-t", type=int, default=12, help="Number of threads")
+    parser.add_argument("--format", choices=("btllib", "native"), default="btllib",
+                        help="Output container: btllib KmerBloomFilter v6 "
+                        "(loadable by the reference/btllib; default) or "
+                        "ntsynt_tpu's native container")
     args = parser.parse_args(argv)
 
     _echo([("--genome", " ".join(args.genome)), ("-t", args.t), ("-k", args.k),
@@ -70,7 +74,7 @@ def common_main(argv=None) -> int:
     # by path internally to the same order.
     genomes = _read_genomes(sorted(args.genome), args.t)
     bf = bf_build.build_common_bf(genomes, args.k, fpr=args.fpr, bf_bytes=args.bf)
-    out = bf.save(f"{args.p}.bf")
+    out = bf.save(f"{args.p}.bf", fmt=args.format)
     log(f"Saved common Bloom filter to {out}")
     return 0
 
@@ -92,12 +96,16 @@ def repeat_main(argv=None) -> int:
     parser.add_argument("--fpr", type=float, default=0.01,
                         help="False positive rate for Bloom filter. "
                         "Only used if --bf is not specified. [0.01]")
+    parser.add_argument("--format", choices=("btllib", "native"), default="btllib",
+                        help="Output container: btllib KmerBloomFilter v6 "
+                        "(loadable by the reference/btllib; default) or "
+                        "ntsynt_tpu's native container")
     args = parser.parse_args(argv)
 
     _echo([("--genome", " ".join(args.genome)), ("-t", args.t), ("-k", args.k),
            ("--bf", args.bf), ("--fpr", args.fpr), ("-p", args.p)])
     genomes = _read_genomes(args.genome, args.t)
     bf = bf_build.build_repeat_bf(genomes, args.k, fpr=args.fpr, bf_bytes=args.bf)
-    out = bf.save(f"{args.p}.bf")
+    out = bf.save(f"{args.p}.bf", fmt=args.format)
     log(f"Saved repeat Bloom filter to {out}")
     return 0

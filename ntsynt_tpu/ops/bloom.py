@@ -94,13 +94,20 @@ class DeviceBloomFilter:
         return bf_probe(self.words, canon_hi, canon_lo, self.bits_log2)
 
     # -- persistence -------------------------------------------------------
-    def save(self, path: str) -> str:
-        """Save as a small JSON header + raw little-endian uint32 words.
+    def save(self, path: str, fmt: str = "native") -> str:
+        """Save the filter.
 
-        Note: this is ntsynt_tpu's own container, not btllib's .bf layout
-        (the btllib serialization is not reproduced here); the semantic
-        content (bit array, k, hash count=1) is equivalent.
+        fmt="native": small JSON header + raw little-endian uint32 words
+        (ntsynt_tpu's own container). fmt="btllib": the btllib
+        KmerBloomFilter v6 container (src/ntsynt_make_common_bf.cpp:162-165
+        emits this; bin/ntsynt_synteny.py:606 loads it) — lossless for
+        these pow2 filters since h % 2^n == h & (2^n - 1), so a
+        reference btllib build probes identically.
         """
+        if fmt == "btllib":
+            from ..io.btllib_bf import write_btllib_bf
+
+            return write_btllib_bf(path, np.asarray(self.words), self.num_bits, self.k)
         header = dict(
             magic="ntsynt_tpu_bf1",
             num_bits=self.num_bits,
@@ -116,6 +123,23 @@ class DeviceBloomFilter:
 
     @classmethod
     def load(cls, path: str) -> "DeviceBloomFilter":
+        """Load a .bf saved by ntsynt_tpu OR by btllib/the reference.
+
+        Delegates to load_bf (container sniffing); raises if the file is
+        a non-pow2 btllib filter, which can only load as a
+        HostModBloomFilter — use load_bf directly for those.
+        """
+        bf = load_bf(path)
+        if not isinstance(bf, cls):
+            raise ValueError(
+                f"{path}: non-pow2 btllib filter ({bf.num_bits} bits) — "
+                "device mask-modulo does not apply; use bloom.load_bf, "
+                "which returns a HostModBloomFilter for it"
+            )
+        return bf
+
+    @classmethod
+    def _load_native(cls, path: str) -> "DeviceBloomFilter":
         with open(path, "rb") as fin:
             hlen = int.from_bytes(fin.read(8), "little")
             header = json.loads(fin.read(hlen).decode())
@@ -123,6 +147,20 @@ class DeviceBloomFilter:
             words = np.frombuffer(fin.read(), dtype="<u4").astype(np.uint32)
         bf = cls(header["num_bits"], header["k"], words=jnp.asarray(words))
         return bf
+
+
+def load_bf(path: str):
+    """Universal .bf loader: sniffs the container.
+
+    btllib KmerBloomFilter v6 (reference-built or fmt="btllib" saves) ->
+    DeviceBloomFilter when pow2-sized, HostModBloomFilter otherwise;
+    ntsynt_tpu native container -> DeviceBloomFilter.
+    """
+    from ..io import btllib_bf
+
+    if btllib_bf.sniff_btllib(path):
+        return btllib_bf.load_btllib_bf(path)
+    return DeviceBloomFilter._load_native(path)
 
 
 def _bit_index(canon_hi, canon_lo, bits_log2: int):
@@ -215,6 +253,67 @@ def bf_probe(words, canon_hi, canon_lo, bits_log2: int):
     """Gather-based membership test (jit-safe, usable inside other kernels)."""
     word, mask = _bit_index(canon_hi, canon_lo, bits_log2)
     return (words[word] & mask) != 0
+
+
+class HostModBloomFilter:
+    """Exact ``h % num_bits`` Bloom filter for ARBITRARY (non-pow2) bit
+    counts — the shape reference-built btllib filters come in
+    (src/ntsynt_make_common_bf.cpp sizes by -genome/ln(1-fpr), not
+    pow2). Probes run on host (numpy uint64 modulo is exact); the
+    device kernels' mask-modulo fast path requires pow2, so sketchers
+    route streams through their host formulation when handed one of
+    these (ops/sketch.sketch_genome).
+    """
+
+    def __init__(self, num_bits: int, k: int, bits: np.ndarray):
+        self.num_bits = int(num_bits)
+        self.k = k
+        self.bits = bits  # packed uint8, btllib layout (bit i -> byte i//8, 1<<(i%8))
+
+    @classmethod
+    def from_bytes(cls, data: bytes, num_bits: int, k: int) -> "HostModBloomFilter":
+        return cls(num_bits, k, np.frombuffer(data, dtype=np.uint8).copy())
+
+    @property
+    def bits_log2(self):
+        raise ValueError(
+            "HostModBloomFilter is not pow2-sized; device mask-modulo "
+            "probing does not apply (probe on host via probe_np)"
+        )
+
+    def probe_np(self, canon: np.ndarray) -> np.ndarray:
+        canon = np.asarray(canon, dtype=np.uint64)
+        idx = canon % np.uint64(self.num_bits)
+        byte = (idx >> np.uint64(3)).astype(np.int64)
+        return (self.bits[byte] >> (idx & np.uint64(7)).astype(np.uint8)) & 1 != 0
+
+    def insert_np(self, canon: np.ndarray):
+        canon = np.asarray(canon, dtype=np.uint64)
+        idx = canon % np.uint64(self.num_bits)
+        byte = (idx >> np.uint64(3)).astype(np.int64)
+        np.bitwise_or.at(self.bits, byte, (1 << (idx & np.uint64(7))).astype(np.uint8))
+
+    def popcount(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+    def fpr(self) -> float:
+        return self.popcount() / self.num_bits
+
+    def save(self, path: str, fmt: str = "btllib") -> str:
+        """btllib is the only container that preserves an arbitrary
+        (non-pow2) modulus — h % num_bits must equal h % (bytes*8)."""
+        from ..io.btllib_bf import write_btllib_bf_bytes
+
+        if fmt != "btllib":
+            raise ValueError("HostModBloomFilter only serializes as btllib")
+        if self.num_bits % 8 != 0:
+            raise ValueError(
+                f"num_bits {self.num_bits} not a byte multiple: btllib "
+                "probes h % (bytes*8), which would change membership"
+            )
+        return write_btllib_bf_bytes(
+            path, self.bits[: self.num_bits // 8].tobytes(), self.k
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -270,6 +270,13 @@ def sketch_genome_dispatch(
             engine = "numpy" if (nwin <= NUMPY_MAX_WINDOWS and prepared is None) else "device"
         else:
             engine = "chunk"
+    if isinstance(common_bf, bloom.HostModBloomFilter) or isinstance(
+        repeat_bf, bloom.HostModBloomFilter
+    ):
+        # non-pow2 (reference-built btllib) filters probe h % num_bits
+        # exactly on host; the device kernels' mask-modulo fast path
+        # requires pow2, so the whole sketch runs the host formulation
+        engine = "numpy"
 
     sel = pending = sketcher = None
     if engine == "numpy":
@@ -577,6 +584,17 @@ def _probe_stream_np(common_bf, repeat_bf, codes: np.ndarray, k: int) -> np.ndar
     n_kmers = len(codes) - k + 1
     if n_kmers <= 0:
         return np.zeros(0, dtype=bool)
+    if isinstance(common_bf, bloom.HostModBloomFilter) or isinstance(
+        repeat_bf, bloom.HostModBloomFilter
+    ):
+        # non-pow2 filter(s): hash + probe entirely on host
+        canon, _, _ = nthash.hash_sequence_np(codes, k)
+        ok = np.ones(n_kmers, dtype=bool)
+        if common_bf is not None:
+            ok &= _probe_np(common_bf, canon)
+        if repeat_bf is not None:
+            ok &= ~_probe_np(repeat_bf, canon)
+        return ok
     # pow2 bucketing bounds distinct compiled shapes (padding codes are
     # N, whose k-mers probe to garbage and get sliced off)
     n_codes = max(1 << 14, 1 << (len(codes) - 1).bit_length())
@@ -602,13 +620,16 @@ def _probe_stream_np(common_bf, repeat_bf, codes: np.ndarray, k: int) -> np.ndar
 
 
 def _probe_np(bf, canon: np.ndarray) -> np.ndarray:
-    """Host-side probe of a DeviceBloomFilter (tiny batches only).
+    """Host-side probe of a DeviceBloomFilter (tiny batches only) or a
+    HostModBloomFilter (exact h % num_bits, stays on host).
 
-    The batch is zero-padded to a pow2 length: refinement rounds probe
-    with a different batch size each round/genome/run, and every fresh
-    shape would recompile bf_probe (~0.35 s per compile over the device
-    tunnel — measured as the bulk of a cold synteny stage). Pow2
+    Device batches are zero-padded to a pow2 length: refinement rounds
+    probe with a different batch size each round/genome/run, and every
+    fresh shape would recompile bf_probe (~0.35 s per compile over the
+    device tunnel — measured as the bulk of a cold synteny stage). Pow2
     bucketing bounds the distinct shapes to ~log2(range)."""
+    if isinstance(bf, bloom.HostModBloomFilter):
+        return bf.probe_np(canon)
     n = len(canon)
     if n == 0:
         return np.zeros(0, dtype=bool)

@@ -13,7 +13,7 @@ import sys
 from .core.assembly import AssemblyMinimizers
 from .core.synteny import SyntenyDetector, SyntenyParams
 from .io import read_fasta, read_sketch_tsv
-from .ops.bloom import DeviceBloomFilter
+from .ops.bloom import load_bf
 
 
 def build_parser():
@@ -65,7 +65,7 @@ def main(argv=None):
         )
     fasta_by_base = {os.path.basename(f): f for f in args.fastas}
 
-    repeat_bf = DeviceBloomFilter.load(args.repeat) if args.repeat else None
+    repeat_bf = load_bf(args.repeat) if args.repeat else None
     # --filter Filter: drop TSV minimizers whose k-mer is in the repeat
     # BF at load time (load_minimizers(repeat_bf), bin/ntsynt_synteny.py:
     # 604-607); the BF key is the canonical hash, recovered from the
@@ -103,7 +103,7 @@ def main(argv=None):
             fa_name, records, genome=genome, repeat_out_filter=rep_filter
         )
 
-    common_bf = DeviceBloomFilter.load(args.common) if args.common else None
+    common_bf = load_bf(args.common) if args.common else None
     params = SyntenyParams(
         k=args.k,
         w=args.w,
