@@ -345,6 +345,7 @@ class NtSyntTPU:
             repeat_bf=repeat_bf,
             repeat_filter=cfg.repeat_filter,
             chunk=cfg.chunk,
+            use_mesh=cfg.use_mesh,
         )
         with self.timer.stage("synteny"):
             detector = SyntenyDetector(assemblies, params)

@@ -55,6 +55,11 @@ class SyntenyParams:
     # mode set, 'Indexlr' semantics apply (the initial-sketch -r path).
     repeat_filter: str = None
     chunk: int = sketch_ops.DEFAULT_CHUNK
+    # shard refinement re-sketches over the device mesh (the multi-chip
+    # analog of the per-round indexlr re-invocation,
+    # bin/ntsynt_synteny.py:173-192); selections are identical to the
+    # single-device engines
+    use_mesh: bool = False
 
     def resolve_collinear_merge(self) -> int:
         """'<num>w' -> num * w, else bp int (bin/ntsynt_synteny.py:37-42)."""
@@ -279,14 +284,22 @@ class SyntenyDetector:
             # excluded from candidacy); 'Filter' re-sketches without it
             # and drops selected minimizers post-hoc via read_minimizers
             sketch_repeat = p.repeat_bf if p.repeat_filter != "Filter" else None
-            sk = sketch_ops.sketch_genome(
-                cond,
-                p.k,
-                new_w,
-                common_bf=p.common_bf,
-                repeat_bf=sketch_repeat,
-                chunk=p.chunk,
-            )
+            if p.use_mesh:
+                from ..parallel import mesh as pmesh
+
+                sk = pmesh.sharded_sketch_genome(
+                    cond, p.k, new_w,
+                    common_bf=p.common_bf, repeat_bf=sketch_repeat,
+                )
+            else:
+                sk = sketch_ops.sketch_genome(
+                    cond,
+                    p.k,
+                    new_w,
+                    common_bf=p.common_bf,
+                    repeat_bf=sketch_repeat,
+                    chunk=p.chunk,
+                )
             if p.repeat_filter == "Filter" and p.repeat_bf is not None:
                 drop = sketch_ops._probe_np(p.repeat_bf, sk.canon)
                 sk = sk.subset(~drop)

@@ -1,22 +1,36 @@
 """Multi-chip scale-out over a jax.sharding.Mesh.
 
 The reference is a single-node multi-process pipeline (SURVEY.md §2.3);
-its TPU-native analog shards genome tiles across chips and combines the
-only global state — Bloom-filter bit arrays and minimizer selections —
-with XLA collectives over ICI:
+its TPU-native analog shards genome code streams across chips and
+combines the only global state — Bloom-filter bit arrays and minimizer
+selections — with XLA collectives over ICI:
 
-  * genome code tiles: sharded over the 'shard' mesh axis (the
-    data-parallel analog of snakemake's per-genome fan-out),
-  * Bloom-filter words: each device inserts its tiles' k-mer hashes into
+  * genome code streams: cut into D contiguous *slabs* (one per device,
+    halo of w+k-2 codes so windows never straddle a slab boundary),
+    uploaded 2-bit-packed + N-bitmap and sharded over the 'shard' axis,
+  * per-device compute: ONE dispatch per genome runs a fori_loop over
+    the slab's fixed-shape segments inside shard_map — hashing
+    (ops/nthash), window argmin (ops/winmin), Bloom-filter probes, and
+    on-device output compaction (run-start flags -> cumsum slots ->
+    scatter-with-drop), so only the selected minimizers come home,
+  * Bloom-filter words: each device inserts its slab's k-mer hashes into
     a local replica, then a bitwise-OR all-reduce (ppermute butterfly
     for power-of-two meshes, all-gather+OR otherwise) makes the filter
-    globally consistent,
-  * per-tile minimizer selections stay sharded; hosts gather them for
-    the (tiny) graph stage.
+    globally consistent — bit-identical to the single-device builder
+    because insert sets commute under OR,
+  * per-slab minimizer selections stay sharded; the host gathers the
+    compacted outputs for the (tiny) graph stage.
 
-Everything is expressed with shard_map over a 1-D mesh so the same code
-runs on a real pod slice or on the 8-virtual-device CPU mesh used in
-tests and the driver's dry run.
+This is the same device-resident formulation as the single-chip hot
+path (ops/sketch_device.py) — HBM-resident codes, one dispatch per
+genome, compact outputs — except the compaction is a plain XLA
+cumsum+scatter instead of the Pallas one-hot kernel so the identical
+program runs on a real pod slice and on the 8-virtual-device CPU mesh
+used in tests and the driver's dry run (a 2^20-element scatter costs
+~13 ms on a v5e, on par with the Pallas path's ~6 ms and far off the
+critical path once sharded D ways).
+
+Everything is expressed with shard_map over a 1-D mesh.
 """
 
 import functools
@@ -60,6 +74,365 @@ def allreduce_or(x, axis_name: str = AXIS):
     return jax.lax.reduce_or(gathered, axes=(0,)) if hasattr(jax.lax, "reduce_or") else (
         functools.reduce(jnp.bitwise_or, [gathered[i] for i in range(d)])
     )
+
+
+# ---------------------------------------------------------------------------
+# packed slab uploads
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _pack_rows(buf2d: np.ndarray):
+    """Planar 2-bit pack + 1-bit N-bitmap of [D, L] code rows (L % 8 == 0).
+    Same wire format as the single-chip path (ops/sketch.py
+    _pack_stream_host/_pack_nbits_host), applied per row: the upload
+    carries 0.375 B/code instead of 1 B/code."""
+    d, ln = buf2d.shape
+    v = (buf2d & 3).reshape(d, 4, ln // 4)
+    packed2 = v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4) | (v[:, 3] << 6)
+    m = (buf2d == 4).astype(np.uint8).reshape(d, 8, ln // 8)
+    isn = m[:, 0]
+    for j in range(1, 8):
+        isn = isn | (m[:, j] << j)
+    return packed2, isn
+
+
+def _unpack_row(packed2, isn):
+    """Device-side planar unpack of one row -> uint8 codes (N == 4)."""
+    p = packed2
+    codes = jnp.concatenate([p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3])
+    b = isn
+    n = jnp.concatenate([(b >> j) & 1 for j in range(8)])
+    return jnp.where(n != 0, jnp.uint8(4), codes.astype(jnp.uint8))
+
+
+def _slab_rows(stream_slice, total: int, d: int, slab_kmers: int, halo: int):
+    """Host: cut a code stream into [D, slab_len] rows (slab_len padded
+    to a multiple of 8 with N codes). stream_slice(lo, hi) -> uint8."""
+    slab_len = -(-(slab_kmers + halo) // 8) * 8
+    rows = np.full((d, slab_len), 4, dtype=np.uint8)
+    for i in range(d):
+        lo = i * slab_kmers
+        hi = min(lo + slab_kmers + halo, total)
+        if hi > lo:
+            seg = stream_slice(lo, hi)
+            rows[i, : len(seg)] = seg
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# sharded whole-stream sketch (device-resident, compacted outputs)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_stream_sketch_fn(mesh, k: int, w: int, seg: int, n_segs: int,
+                              slab_len: int, seg_slots: int,
+                              common_log2, repeat_log2):
+    """One-dispatch-per-genome sharded sketcher.
+
+    Per device: fori_loop over its slab's n_segs fixed-shape segments;
+    each segment hashes, probes the (replicated) BF words, computes the
+    block-layout window argmin, flags selection run starts (the argmin
+    sequence is monotone in the window index, so each selected k-mer is
+    exactly one run), and compacts flagged (position, window) pairs into
+    seg_slots entries via an in-order cumsum + scatter-with-drop.
+    Outputs come back sharded: vals/wins [D*n_segs, seg_slots] (slab-
+    relative) + per-segment counts for overflow detection.
+    """
+    nk = seg + w - 1
+    nc = nk + k - 1
+    assert slab_len >= (n_segs - 1) * seg + nc
+
+    def local(packed2_row, isn_row, common_words, repeat_words):
+        slab = _unpack_row(packed2_row[0], isn_row[0])
+
+        def body(i, acc):
+            vals_acc, wins_acc, cnt_acc = acc
+            codes = jax.lax.dynamic_slice(slab, (i * seg,), (nc,))
+            h = nthash.hash_tile(codes, k)
+            valid = h["valid"]
+            if common_log2 is not None:
+                valid = valid & bloom.bf_probe(
+                    common_words, h["canon_hi"], h["canon_lo"], common_log2
+                )
+            if repeat_log2 is not None:
+                valid = valid & ~bloom.bf_probe(
+                    repeat_words, h["canon_hi"], h["canon_lo"], repeat_log2
+                )
+            key_hi = jnp.where(valid, h["out_hi"], winmin.UMAX)
+            key_lo = jnp.where(valid, h["out_lo"], winmin.UMAX)
+            arg, min_hi, min_lo = winmin.sliding_block_argmin(key_hi, key_lo, w)
+            nb, wp = arg.shape
+            win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 0)
+            j = row * w + lane
+            live = (lane < w) & (j < seg) & win_valid
+            # run starts: argmin differs from the previous flat window's
+            prev = jnp.concatenate(
+                [jnp.full((nb, 1), -1, arg.dtype), arg[:, :-1]], axis=1
+            )
+            row_up = jnp.concatenate(
+                [jnp.full((1, wp), -1, arg.dtype), arg[:-1]], axis=0
+            )
+            prev = jnp.where(lane == 0, row_up[:, w - 1 : w], prev)
+            flag = (live & (arg != prev)).astype(jnp.int32).reshape(-1)
+            slot = jnp.cumsum(flag) - flag
+            idx = jnp.where(flag > 0, slot, seg_slots)  # OOB -> drop
+            base = i * seg
+            sv = jnp.zeros(seg_slots, jnp.uint32).at[idx].set(
+                (arg.reshape(-1) + base).astype(jnp.uint32), mode="drop"
+            )
+            sw = jnp.zeros(seg_slots, jnp.uint32).at[idx].set(
+                (j.reshape(-1) + base).astype(jnp.uint32), mode="drop"
+            )
+            cnt = jnp.sum(flag).astype(jnp.int32)
+            vals_acc = jax.lax.dynamic_update_slice(vals_acc, sv[None], (i, 0))
+            wins_acc = jax.lax.dynamic_update_slice(wins_acc, sw[None], (i, 0))
+            cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, cnt[None, None], (i, 0))
+            return vals_acc, wins_acc, cnt_acc
+
+        init = (
+            jnp.zeros((n_segs, seg_slots), jnp.uint32),
+            jnp.zeros((n_segs, seg_slots), jnp.uint32),
+            jnp.zeros((n_segs, 1), jnp.int32),
+        )
+        return jax.lax.fori_loop(0, n_segs, body, init)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _host_windows_recompute(stream, legit, lo: int, hi: int, k: int, w: int,
+                            common_bf, repeat_bf):
+    """Exact host recompute of windows [lo, hi) of a stream (overflow
+    safety net; rare — dense repeat regions)."""
+    from ..ops import sketch as sketch_ops
+
+    nwin = len(legit)
+    hi = min(hi, nwin)
+    if hi <= lo:
+        return np.zeros(0, np.int64)
+    codes = stream.slice(lo, hi - 1 + w + k - 1)
+    canon, outh, valid = nthash.hash_sequence_np(codes, k)
+    if (common_bf is not None or repeat_bf is not None) and valid.any():
+        valid = valid & sketch_ops._probe_stream_np(common_bf, repeat_bf, codes, k)
+    keys = np.where(valid, outh, np.uint64(0xFFFFFFFFFFFFFFFF))
+    arg = sketch_ops._np_sliding_argmin(keys, w)[: hi - lo]
+    ok = legit[lo:hi] & valid[arg]
+    if not ok.any():
+        return np.zeros(0, np.int64)
+    return np.unique(arg[ok]).astype(np.int64) + lo
+
+
+def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
+                          seg_max: int = 1 << 20, common_bf=None,
+                          repeat_bf=None, codes: np.ndarray | None = None):
+    """Data-parallel minimizer sketch over a device mesh.
+
+    The genome's code stream is cut into D contiguous slabs (one per
+    device) and sketched with the device-resident formulation: 2-bit
+    packed sharded upload, ONE dispatch for the whole genome (fori_loop
+    over each slab's segments inside shard_map), compacted selections
+    back. Results are identical to ops.sketch.sketch_genome, including
+    fused common/repeat BF filtering (indexlr -s/-r semantics) — slab
+    boundaries only introduce duplicate run-start emissions, which the
+    final np.unique removes. Refinement rounds pass the condensed
+    genome (core/refine.condensed_genome) here when the pipeline runs
+    with use_mesh, sharding the re-sketch too.
+    """
+    from ..ops import sketch as sketch_ops
+    from ..ops.sketch_device import DeviceSketcher
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    stream = sketch_ops._Stream(genome, k, w, codes=codes)
+    legit = stream.legit_windows()
+    nwin = len(legit)
+
+    sel = np.zeros(0, np.int64)
+    if nwin > 0:
+        # slab sizing: one segment per device when the stream is small,
+        # pow2-bucketed segment counts when large (compile-cache reuse)
+        seg = min(seg_max, max(1024, _next_pow2(-(-nwin // d))))
+        n_segs = _next_pow2(-(-nwin // (d * seg)))
+        S = n_segs * seg  # windows per device
+        halo = w + k - 2
+        nc_last = seg + w - 1 + k - 1
+        slab_len = -(-max((n_segs - 1) * seg + nc_last, S + halo) // 8) * 8
+        seg_slots = min(_next_pow2(seg), max(256, _next_pow2(8 * seg // max(w, 1))))
+
+        rows = _slab_rows(stream.slice, stream.total, d, S, slab_len - S)
+        packed2, isn = _pack_rows(rows)
+        fn = _sharded_stream_sketch_fn(
+            mesh, k, w, seg, n_segs, slab_len, seg_slots,
+            None if common_bf is None else common_bf.bits_log2,
+            None if repeat_bf is None else repeat_bf.bits_log2,
+        )
+        cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
+        rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
+        vals, wins, cnts = jax.device_get(fn(jnp.asarray(packed2), jnp.asarray(isn), cw, rw))
+        cnts = cnts.reshape(-1)
+
+        # vectorized gather of the compacted selections
+        g = vals.shape[0]  # D * n_segs
+        m = np.minimum(cnts, seg_slots)
+        lane = np.arange(seg_slots)[None, :]
+        base = (np.arange(g) // n_segs).astype(np.int64) * S
+        jw = wins.astype(np.int64) + base[:, None]
+        v = vals.astype(np.int64) + base[:, None]
+        ok = (lane < m[:, None]) & (jw < nwin)
+        ok[ok] = legit[jw[ok]]
+        parts = [v[ok]]
+        for gi in np.where(cnts > seg_slots)[0]:  # overflow safety net
+            lo = int(base[gi] + (gi % n_segs) * seg)
+            parts.append(
+                _host_windows_recompute(
+                    stream, legit, lo, lo + seg, k, w, common_bf, repeat_bf
+                )
+            )
+        # runs that start in an illegit window (partial windows before a
+        # contig's first full window) are flagged only at their illegit
+        # start: recompute each contig's first legit window on the host
+        # (same fix-up as the single-chip path, sketch_device.py)
+        ds = DeviceSketcher(k, w, common_bf=common_bf, repeat_bf=repeat_bf)
+        first_legit = np.where(legit & ~np.concatenate([[False], legit[:-1]]))[0]
+        if len(first_legit):
+            parts.append(ds._first_window_argmins(stream.codes_view(), first_legit))
+        sel = np.unique(np.concatenate(parts)) if parts else sel
+
+    # short-contig fallback + position mapping (host helpers shared with
+    # the single-chip path)
+    cidx, cpos = stream.to_contig_pos(sel)
+    extra_ci, extra_pos = [], []
+    src = genome.codes if codes is None else codes
+    for i in stream.short_contigs():
+        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
+        ccodes = src[o : o + ln]
+        canon, out, valid = nthash.hash_sequence_np(ccodes, k)
+        if common_bf is not None and valid.any():
+            valid = valid & sketch_ops._probe_np(common_bf, canon)
+        if repeat_bf is not None and valid.any():
+            valid = valid & ~sketch_ops._probe_np(repeat_bf, canon)
+        if valid.any():
+            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            extra_ci.append(i)
+            extra_pos.append(int(np.argmin(keys)))
+    if extra_ci:
+        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
+        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
+        order = np.lexsort((cpos, cidx))
+        cidx, cpos = cidx[order], cpos[order]
+    canon, hashes = sketch_ops._hash_at_positions(genome, k, cidx, cpos, codes=codes)
+    return sketch_ops.GenomeSketch(
+        name=genome.name,
+        k=k,
+        w=w,
+        contig_names=list(genome.contig_names),
+        contig_idx=cidx,
+        positions=cpos,
+        hashes=hashes,
+        canon=canon,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded Bloom-filter cascade (one dispatch per genome per level)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bf_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
+                         bits_log2: int, cascade: bool):
+    """Per device: insert its slab's k-mers into a local replica (fixed-
+    shape segment fori_loop), OR all-reduce across the mesh; cascade
+    levels then AND with the previous level (bit-for-bit the reference's
+    insert-if-present for a 1-hash BF — see ops.bf_build
+    _cascade_stream_fn's proof, src/ntsynt_make_common_bf.cpp:140-160)."""
+    from ..ops import bf_build
+
+    assert slab_len >= n_segs * seg + k - 1
+
+    def local(packed2_row, isn_row, prev_words):
+        slab = _unpack_row(packed2_row[0], isn_row[0])
+
+        def body(i, words):
+            hi, lo, valid = bf_build._segment_hashes(slab, i, k, seg)
+            return bloom.insert_words(words, hi, lo, valid, bits_log2)
+
+        own = jax.lax.fori_loop(0, n_segs, body, jnp.zeros_like(prev_words))
+        own = allreduce_or(own)
+        return (own & prev_words) if cascade else own
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
+                          seg_max: int = 1 << 21, bf_bytes=None):
+    """Multi-chip cascading common-k-mer Bloom filter: each genome's own
+    filter is built data-parallel over the mesh (code slabs sharded on
+    the 'shard' axis, 2-bit packed uploads, bitwise-OR all-reduce) and
+    dense-ANDed with the previous level. ONE dispatch per genome per
+    level; bit-identical to ops.bf_build.build_common_bf."""
+    from ..ops import bf_build
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    ordered = sorted(genomes, key=lambda g: g.path)
+    num_bits = bf_size = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
+    bits_log2 = num_bits.bit_length() - 1
+
+    prev = jnp.zeros(num_bits // 32, jnp.uint32)
+    for gi, g in enumerate(ordered):
+        # genome k-mer stream: contigs + (k-1) N separators
+        parts, sep = [], np.full(k - 1, 4, dtype=np.uint8)
+        for i in range(g.n_contigs):
+            o, ln = int(g.offsets[i]), int(g.lengths[i])
+            parts.append(g.codes[o : o + ln])
+            parts.append(sep)
+        stream = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        n_kmers = max(len(stream) - k + 1, 0)
+        if n_kmers == 0:
+            if gi > 0:
+                prev = jnp.zeros_like(prev)  # empty genome: empty intersection
+            continue
+        seg = min(seg_max, max(1024, _next_pow2(-(-n_kmers // d))))
+        n_segs = _next_pow2(-(-n_kmers // (d * seg)))
+        slab_kmers = n_segs * seg
+        slab_len = -(-(slab_kmers + k - 1) // 8) * 8
+
+        def _slice(lo, hi):
+            return stream[lo:hi]
+
+        rows = _slab_rows(_slice, len(stream), d, slab_kmers, slab_len - slab_kmers)
+        packed2, isn = _pack_rows(rows)
+        fn = _sharded_bf_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2,
+                                  cascade=(gi > 0))
+        prev = fn(jnp.asarray(packed2), jnp.asarray(isn), prev)
+    return bloom.DeviceBloomFilter(num_bits, k, words=prev)
+
+
+# ---------------------------------------------------------------------------
+# single-step building blocks (unit-tested primitives; the genome-level
+# entry points above compose the same pieces into one-dispatch streams)
+# ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)
@@ -106,31 +479,6 @@ def sharded_sketch_step(mesh, k: int, w: int, chunk: int, bits_log2: int):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
-def sharded_insert_step(mesh, k: int, chunk: int, bits_log2: int):
-    """Accumulating level-1 BF insert: every k-mer of the sharded tile
-    batch is inserted into a local replica, OR-reduced over the mesh,
-    and merged into the replicated accumulator."""
-
-    def local_step(tiles, acc_words):
-        def one(tile):
-            h = nthash.hash_tile(tile.astype(jnp.int32), k)
-            return h["canon_hi"], h["canon_lo"], h["valid"]
-
-        c_hi, c_lo, v = jax.vmap(one)(tiles)
-        local = bloom.insert_words(
-            jnp.zeros_like(acc_words),
-            c_hi.reshape(-1), c_lo.reshape(-1), v.reshape(-1), bits_log2,
-        )
-        return acc_words | allreduce_or(local)
-
-    fn = jax.shard_map(
-        local_step, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(),
-        check_vma=False,
-    )
-    return jax.jit(fn)
-
-
 def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
     """Compile the cascade step: probe the previous-level BF for every
     k-mer of sharded tiles, insert hits into a local replica, OR-reduce
@@ -158,40 +506,6 @@ def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
         check_vma=False,
     )
     return jax.jit(fn)
-
-
-def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
-                          chunk: int = 1 << 18, bf_bytes=None):
-    """Multi-chip cascading common-k-mer Bloom filter: each genome's own
-    filter is built data-parallel over the mesh (tiles sharded on dim 0,
-    bitwise-OR all-reduce keeping the replica consistent) and then
-    dense-ANDed with the previous level — bit-for-bit the reference's
-    insert-if-present cascade for a 1-hash BF (see
-    ops.bf_build._cascade_stream_fn) and bit-identical to
-    ops.bf_build.build_common_bf. The AND replaces the per-k-mer probe
-    of the previous level (serialized gathers) with one full-bandwidth
-    elementwise pass, and makes the levels independent: on a real pod
-    the genomes themselves can build concurrently."""
-    from ..ops import bf_build
-
-    mesh = mesh or make_mesh()
-    d = int(mesh.devices.size)
-    ordered = sorted(genomes, key=lambda g: g.path)
-    num_bits = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
-    bits_log2 = num_bits.bit_length() - 1
-    ins = sharded_insert_step(mesh, k, chunk, bits_log2)
-
-    prev = None
-    for g in ordered:
-        buf, n_segs = bf_build._stream_buffer(g, k, chunk)
-        acc = jnp.zeros(num_bits // 32, jnp.uint32)
-        if buf is not None:
-            span = chunk * d
-            for ws in range(0, n_segs * chunk, span):
-                tiles = jnp.asarray(make_tiles(buf[ws:], d, chunk, k, 1))
-                acc = ins(tiles, acc)
-        prev = acc if prev is None else prev & acc
-    return bloom.DeviceBloomFilter(num_bits, k, words=prev)
 
 
 @functools.lru_cache(maxsize=None)
@@ -229,83 +543,6 @@ def sharded_filtered_sketch_step(mesh, k: int, w: int, chunk: int,
         check_vma=False,
     )
     return jax.jit(fn)
-
-
-def sharded_sketch_genome(genome, k: int, w: int, mesh=None, chunk: int = 1 << 18,
-                          common_bf=None, repeat_bf=None):
-    """Data-parallel minimizer sketch over a device mesh.
-
-    The genome's code stream is tiled into window chunks; all devices
-    process a batch of tiles per step (dim-0 sharding), and the host
-    reduces per-window argmins to the selected minimizer set — the
-    multi-chip analog of the per-genome snakemake fan-out (SURVEY.md
-    §2.3). Results are identical to ops.sketch.sketch_genome, including
-    fused common/repeat BF filtering (indexlr -s/-r semantics).
-    """
-    from ..ops import sketch as sketch_ops
-
-    mesh = mesh or make_mesh()
-    d = mesh.devices.size
-    stream = sketch_ops._Stream(genome, k, w)
-    legit = stream.legit_windows()
-    nwin = len(legit)
-    step = sharded_filtered_sketch_step(
-        mesh, k, w, chunk,
-        None if common_bf is None else common_bf.bits_log2,
-        None if repeat_bf is None else repeat_bf.bits_log2,
-    )
-    cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
-    rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
-
-    selected = []
-    tiles_per_call = d
-    span = chunk * tiles_per_call
-    for ws in range(0, nwin, span):
-        tiles = make_tiles(stream.codes[ws:], tiles_per_call, chunk, k, w)
-        args, win_valid = step(jnp.asarray(tiles), cw, rw)
-        args = np.asarray(args)
-        win_valid = np.asarray(win_valid)
-        for t in range(tiles_per_call):
-            base = ws + t * chunk
-            if base >= nwin:
-                break
-            lg = legit[base : base + chunk]
-            vv = win_valid[t, : len(lg)] & lg
-            if vv.any():
-                selected.append(np.unique(args[t, : len(lg)][vv]).astype(np.int64) + base)
-    sel = np.unique(np.concatenate(selected)) if selected else np.zeros(0, np.int64)
-
-    # short-contig fallback + position mapping via the host helpers
-    cidx, cpos = stream.to_contig_pos(sel)
-    extra_ci, extra_pos = [], []
-    for i in stream.short_contigs():
-        o, ln = int(genome.offsets[i]), int(genome.lengths[i])
-        ccodes = genome.codes[o : o + ln]
-        canon, out, valid = sketch_ops.nthash.hash_sequence_np(ccodes, k)
-        if common_bf is not None and valid.any():
-            valid = valid & sketch_ops._probe_np(common_bf, canon)
-        if repeat_bf is not None and valid.any():
-            valid = valid & ~sketch_ops._probe_np(repeat_bf, canon)
-        if valid.any():
-            keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
-            extra_ci.append(i)
-            extra_pos.append(int(np.argmin(keys)))
-    if extra_ci:
-        cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
-        cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
-        order = np.lexsort((cpos, cidx))
-        cidx, cpos = cidx[order], cpos[order]
-    canon, hashes = sketch_ops._hash_at_positions(genome, k, cidx, cpos)
-    return sketch_ops.GenomeSketch(
-        name=genome.name,
-        k=k,
-        w=w,
-        contig_names=list(genome.contig_names),
-        contig_idx=cidx,
-        positions=cpos,
-        hashes=hashes,
-        canon=canon,
-    )
 
 
 def make_tiles(stream_codes: np.ndarray, n_tiles: int, chunk: int, k: int, w: int):

@@ -1,38 +1,115 @@
-"""Per-stage wall-clock benchmarking.
+"""Per-stage wall-clock + peak-memory benchmarking.
 
 TPU-native replacement for the reference's per-rule ``memusg -t`` /
 ``/usr/bin/time -v`` wrappers (/root/reference/bin/ntsynt_run_pipeline.smk:26-35):
-instead of wrapping OS processes we time in-process stages and can emit a
-``<prefix>.time.tsv`` summary.
+instead of wrapping OS processes we time in-process stages, sample the
+process RSS high-water and the device-HBM live-buffer high-water while
+each stage runs, and emit a ``<prefix>.time.tsv`` summary with the same
+role as the reference's benchmark TSVs (wall seconds + peak memory —
+the reference workload's headline is 26 min / 34 GB RSS, README.md:156).
 """
 
 import contextlib
 import json
+import os
+import threading
 import time
 from collections import OrderedDict
 
+_PAGE = os.sysconf("SC_PAGESIZE") if hasattr(os, "sysconf") else 4096
+
+
+def _rss_bytes() -> int:
+    """Current process resident set size (Linux /proc; 0 elsewhere)."""
+    try:
+        with open("/proc/self/statm", "rb") as fin:
+            return int(fin.read().split()[1]) * _PAGE
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _hbm_live_bytes() -> int:
+    """Sum of live jax array buffer sizes (device HBM high-water proxy:
+    XLA's own scratch/donated temporaries are not visible from Python,
+    so this tracks the persistent-buffer component)."""
+    try:
+        import jax
+
+        return sum(
+            getattr(a, "nbytes", 0) for a in jax.live_arrays()
+        )
+    except Exception:  # backend not initialized / registry mutated mid-scan
+        return 0
+
+
+class _MemSampler:
+    """Background high-water sampler for one stage."""
+
+    def __init__(self, interval: float, track_hbm: bool):
+        self.interval = interval
+        self.track_hbm = track_hbm
+        self.peak_rss = _rss_bytes()
+        self.peak_hbm = _hbm_live_bytes() if track_hbm else 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self.peak_rss = max(self.peak_rss, _rss_bytes())
+            if self.track_hbm:
+                self.peak_hbm = max(self.peak_hbm, _hbm_live_bytes())
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self.peak_rss = max(self.peak_rss, _rss_bytes())
+        if self.track_hbm:
+            self.peak_hbm = max(self.peak_hbm, _hbm_live_bytes())
+
 
 class StageTimer:
-    def __init__(self):
-        self.stages = OrderedDict()
+    def __init__(self, sample_interval: float = 0.05, track_hbm: bool = True):
+        self.stages = OrderedDict()  # name -> wall seconds
+        self.peak_rss = OrderedDict()  # name -> bytes (host RSS high-water)
+        self.peak_hbm = OrderedDict()  # name -> bytes (live device buffers)
+        self.sample_interval = sample_interval
+        self.track_hbm = track_hbm
 
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            dt = time.perf_counter() - t0
-            self.stages[name] = self.stages.get(name, 0.0) + dt
+        with _MemSampler(self.sample_interval, self.track_hbm) as mem:
+            try:
+                yield
+            finally:
+                dt = time.perf_counter() - t0
+                self.stages[name] = self.stages.get(name, 0.0) + dt
+        self.peak_rss[name] = max(self.peak_rss.get(name, 0), mem.peak_rss)
+        self.peak_hbm[name] = max(self.peak_hbm.get(name, 0), mem.peak_hbm)
 
     def write_tsv(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as fout:
-            fout.write("stage\tseconds\n")
+            fout.write("stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb\n")
             for name, secs in self.stages.items():
-                fout.write(f"{name}\t{secs:.4f}\n")
+                rss = self.peak_rss.get(name, 0) / 1e6
+                hbm = self.peak_hbm.get(name, 0) / 1e6
+                fout.write(f"{name}\t{secs:.4f}\t{rss:.1f}\t{hbm:.1f}\n")
 
     def as_json(self) -> str:
-        return json.dumps({k: round(v, 4) for k, v in self.stages.items()})
+        return json.dumps(
+            {
+                k: {
+                    "s": round(v, 4),
+                    "rss_mb": round(self.peak_rss.get(k, 0) / 1e6, 1),
+                    "hbm_mb": round(self.peak_hbm.get(k, 0) / 1e6, 1),
+                }
+                for k, v in self.stages.items()
+            }
+        )
 
     def total(self) -> float:
         return sum(self.stages.values())

@@ -119,7 +119,7 @@ def test_sharded_sketch_genome_matches_single(mesh8):
         [_rand_contig(rng, 20_000, n_prob=0.001), _rand_contig(rng, 7_000)]
     )
     want = sketch_genome(g, k, w, chunk=1 << 12, engine="chunk")
-    got = sharded_sketch_genome(g, k, w, mesh=mesh8, chunk=1 << 10)
+    got = sharded_sketch_genome(g, k, w, mesh=mesh8, seg_max=1 << 10)
     assert (got.positions == want.positions).all()
     assert (got.contig_idx == want.contig_idx).all()
     assert (got.hashes == want.hashes).all()
@@ -141,7 +141,7 @@ def test_distributed_common_bf_bit_equal(mesh8):
     from ntsynt_tpu.ops import bf_build
 
     single = bf_build.build_common_bf(genomes, 20, fpr=0.025, chunk=1 << 12)
-    dist = pmesh.distributed_common_bf(genomes, 20, fpr=0.025, mesh=mesh8, chunk=1 << 9)
+    dist = pmesh.distributed_common_bf(genomes, 20, fpr=0.025, mesh=mesh8, seg_max=1 << 9)
     assert (np.asarray(single.words) == np.asarray(dist.words)).all()
 
 

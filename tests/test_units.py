@@ -60,9 +60,11 @@ def test_stage_timer(tmp_path):
     p = tmp_path / "t.tsv"
     t.write_tsv(str(p))
     lines = open(p).read().strip().split("\n")
-    assert lines[0] == "stage\tseconds"
+    assert lines[0] == "stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb"
     assert len(lines) == 3
     assert t.total() >= 0
+    # peak RSS is a real, nonzero measurement on Linux
+    assert t.peak_rss["a"] > 0
 
 
 def test_condensed_no_masks_is_identity_shape():
