@@ -24,4 +24,9 @@ Reference layout surveyed in /root/repo/SURVEY.md.
 
 __version__ = "0.1.0"
 
+from .utils.malloc_tune import tune_glibc_malloc as _tune
+
+_tune()  # see utils/malloc_tune.py: first-touch fault churn dominates
+# large-array host stages on fault-throttled VMs without this
+
 from . import ops, io, graph, core, parallel, utils  # noqa: F401

@@ -38,6 +38,15 @@ def _membership(hashes: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[loc] == hashes
 
 
+def _split_lists(hashes: np.ndarray, cidx: np.ndarray, n_contigs: int) -> list:
+    """Per-contig hash lists from (contig, position)-ordered flat arrays
+    — one searchsorted over the sorted contig column instead of a
+    boolean mask per contig (O(C*M) -> O(M + C log M); refinement-round
+    condensed genomes and stress-scale inputs have 10^4+ segments)."""
+    bounds = np.searchsorted(cidx, np.arange(1, n_contigs))
+    return np.split(hashes, bounds)
+
+
 @dataclass
 class MxInfo:
     """hash -> (contig index, position) lookup for one assembly."""
@@ -56,12 +65,35 @@ class MxInfo:
         )
 
     def lookup(self, hashes):
-        """Vectorized lookup; raises KeyError on a missing hash."""
+        """Vectorized lookup; raises KeyError on a missing hash.
+
+        Large batches switch to a sort-merge join: binary-searching 10^6
+        random-order queries costs ~20 random DRAM touches each, while
+        sorting the queries once and scanning the (already sorted) table
+        with ascending probes is cache-sequential — ~3x faster at the
+        6M-node stress scale (tests/test_scale.py)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
+        n = len(self.sorted_hash)
+        if len(hashes) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.int64)
+        if n == 0:
+            raise KeyError("minimizer hash not in mx_info")
+        if len(hashes) >= (1 << 18):
+            uq, inv = np.unique(hashes, return_inverse=True)
+            loc_u = np.minimum(np.searchsorted(uq, self.sorted_hash), len(uq) - 1)
+            hit = uq[loc_u] == self.sorted_hash  # ascending probes
+            tgt = loc_u[hit]
+            ctg_u = np.empty(len(uq), np.int32)
+            pos_u = np.empty(len(uq), np.int64)
+            found = np.zeros(len(uq), dtype=bool)
+            ctg_u[tgt] = self.ctg[hit]
+            pos_u[tgt] = self.pos[hit]
+            found[tgt] = True
+            if not found.all():
+                raise KeyError("minimizer hash not in mx_info")
+            return ctg_u[inv], pos_u[inv]
         loc = np.searchsorted(self.sorted_hash, hashes)
-        if len(self.sorted_hash) == 0 or (
-            (loc >= len(self.sorted_hash)) | (self.sorted_hash[np.minimum(loc, len(self.sorted_hash) - 1)] != hashes)
-        ).any():
+        if ((loc >= n) | (self.sorted_hash[np.minimum(loc, n - 1)] != hashes)).any():
             raise KeyError("minimizer hash not in mx_info")
         return self.ctg[loc], self.pos[loc]
 
@@ -103,7 +135,7 @@ class AssemblyMinimizers:
             hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
-        lists = [hashes[cidx == ci] for ci in range(len(sk.contig_names))]
+        lists = _split_lists(hashes, cidx, len(sk.contig_names))
         return cls(
             key=sk.name,
             contig_names=list(sk.contig_names),
@@ -121,7 +153,7 @@ class AssemblyMinimizers:
         pos = np.asarray(pos, np.int64)
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
-        lists = [hashes[cidx == ci] for ci in range(len(contig_names))]
+        lists = _split_lists(hashes, cidx, len(contig_names))
         return cls(
             key=key,
             contig_names=list(contig_names),
@@ -151,7 +183,7 @@ class AssemblyMinimizers:
             hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
-        lists = [hashes[cidx == ci] for ci in range(len(names))]
+        lists = _split_lists(hashes, cidx, len(names))
         return cls(
             key=key,
             contig_names=names,
@@ -169,15 +201,26 @@ def filter_common(assemblies: dict) -> None:
     are filtered to the cross-assembly intersection. mx_info is left
     as-is (the reference keeps full mx_info too).
     """
-    sets = [
-        np.unique(np.concatenate(a.lists)) if a.lists else np.zeros(0, np.uint64)
+    flats = [
+        np.concatenate(a.lists) if a.lists else np.zeros(0, np.uint64)
         for a in assemblies.values()
     ]
-    common = sets[0]
-    for s in sets[1:]:
+    # unique-with-inverse so the membership test runs over SORTED unique
+    # hashes (sequential probes) and maps back with one gather, instead
+    # of a random-order binary search per occurrence
+    uniqs = [np.unique(f, return_inverse=True) for f in flats]
+    common = uniqs[0][0]
+    for s, _ in uniqs[1:]:
         common = np.intersect1d(common, s, assume_unique=True)
-    for a in assemblies.values():
-        a.lists = [lst[_membership(lst, common)] for lst in a.lists]
+    for a, flat, (uq, inv) in zip(assemblies.values(), flats, uniqs):
+        # one batched membership + re-split (a per-list loop costs 10^5
+        # small searchsorted calls at stress scale)
+        lens = np.asarray([len(l) for l in a.lists], dtype=np.int64)
+        keep = _membership(uq, common)[inv]
+        kept_cum = np.concatenate([[0], np.cumsum(keep)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        kept_per_list = kept_cum[bounds[1:]] - kept_cum[bounds[:-1]]
+        a.lists = np.split(flat[keep], np.cumsum(kept_per_list)[:-1])
 
 
 def filter_segments_common(segments_per_asm: dict) -> dict:

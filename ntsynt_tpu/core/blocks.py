@@ -154,7 +154,9 @@ class BlockSet:
 
 
 def blocks_from_path(path_mx, lookup, k: int, m_threshold: float):
-    """Turn one graph path into its surviving synteny block.
+    """Turn ONE graph path into its surviving synteny block (scalar
+    oracle; production uses blocks_from_paths_batch — the two are
+    differential-tested in tests/test_blocks.py).
 
     Replicates find_synteny_blocks (bin/ntsynt_synteny.py:66-106)
     *including its quirk*: `past_start_flag` is never set there, so when
@@ -193,6 +195,97 @@ def blocks_from_path(path_mx, lookup, k: int, m_threshold: float):
     if block.all_oriented():
         return block, None
     return None, block.mx
+
+
+def blocks_from_paths_batch(paths, lookup, rep_a: int, k: int, m_threshold: float):
+    """Vectorized find_synteny_blocks over ALL paths at once
+    (bin/ntsynt_synteny.py:543-546 + 66-106 semantics, incl. the
+    past_start_flag quirk and the representative-ascends direction
+    normalization). One batched ``lookup`` over the concatenation of all
+    paths replaces the per-path lookups (each a searchsorted over every
+    assembly's full minimizer table — the dominant cost at ~10^5 paths),
+    and the trim/orientation votes run as segmented NumPy reductions.
+
+    Args:
+      paths: list of uint64 arrays (ordered minimizer hashes).
+      lookup: callable(hashes u64[T]) -> (ctg int32 [n_asm, T],
+        pos int64 [n_asm, T]) in canonical FILES order.
+      rep_a: FILES index of the representative (lexicographically
+        smallest) assembly; paths are flipped so it ascends.
+      k, m_threshold: block parameters.
+
+    Returns (blocks, to_remove_hashes): surviving Blocks in path order
+    plus the concatenated minimizers of orientation-vote failures.
+    """
+    paths = [np.asarray(p, dtype=np.uint64) for p in paths if len(p) >= 2]
+    if not paths:
+        return [], np.zeros(0, np.uint64)
+    lens = np.asarray([len(p) for p in paths], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    cat = np.concatenate(paths)
+    t = len(cat)
+    n_paths = len(paths)
+    pid = np.repeat(np.arange(n_paths, dtype=np.int64), lens)
+
+    ctg, pos = lookup(cat)
+
+    # -- direction normalization: representative assembly ascends ------
+    first, last = off[:-1], off[1:] - 1
+    flip = pos[rep_a, first] > pos[rep_a, last]
+    if flip.any():
+        idx = np.arange(t, dtype=np.int64)
+        rev = off[pid] + (off[pid + 1] - 1) - idx
+        idx = np.where(flip[pid], rev, idx)
+        cat, ctg, pos = cat[idx], ctg[:, idx], pos[:, idx]
+
+    # -- past_start_flag quirk: keep only the segment after the LAST
+    #    contig change in any assembly ------------------------------
+    internal = pid[1:] == pid[:-1]  # adjacency (i, i+1) within one path
+    chg = (ctg[:, 1:] != ctg[:, :-1]).any(axis=0) & internal
+    seg_start = off[:-1].copy()
+    cps = np.where(chg)[0]
+    if len(cps):
+        np.maximum.at(seg_start, pid[cps], cps + 1)
+
+    # -- orientation votes (synteny_block.py:48-65), segmented ---------
+    live = internal.copy()
+    live[np.arange(t - 1) < seg_start[pid[:-1]]] = False  # pre-trim diffs
+    d = np.sign(np.diff(pos, axis=1))  # [n_asm, t-1]
+    w_live = live.astype(np.int64)
+    n_d = np.bincount(pid[:-1], weights=w_live, minlength=n_paths).astype(np.int64)
+    n_pos = np.empty((pos.shape[0], n_paths), dtype=np.int64)
+    n_neg = np.empty_like(n_pos)
+    for a in range(pos.shape[0]):  # per assembly (few), not per path
+        n_pos[a] = np.bincount(pid[:-1], weights=w_live * (d[a] > 0), minlength=n_paths)
+        n_neg[a] = np.bincount(pid[:-1], weights=w_live * (d[a] < 0), minlength=n_paths)
+    all_inc = n_pos == n_d  # vacuously '+' when n_d == 0, like .all()
+    all_dec = (n_neg == n_d) & (n_d > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pos_perc = np.where(n_d > 0, n_pos / np.maximum(n_d, 1) * 100.0, 100.0)
+    vote_plus = pos_perc >= m_threshold
+    vote_minus = (100.0 - pos_perc) >= m_threshold
+    ori_code = np.where(
+        all_inc, 0, np.where(all_dec, 1, np.where(vote_plus, 0, np.where(vote_minus, 1, 2)))
+    )  # 0='+', 1='-', 2='?'
+    oriented = (ori_code != 2).all(axis=0)
+
+    ori_chars = np.array(["+", "-", "?"])
+    blocks, removed = [], []
+    for p in range(n_paths):
+        s, e = int(seg_start[p]), int(off[p + 1])
+        block = Block(
+            mx=cat[s:e],
+            pos=pos[:, s:e],
+            ctg=ctg[:, s].astype(np.int32),
+            k=k,
+            ori=ori_chars[ori_code[:, p]].tolist(),
+        )
+        if oriented[p]:
+            blocks.append(block)
+        else:
+            removed.append(block.mx)
+    removed = np.concatenate(removed) if removed else np.zeros(0, np.uint64)
+    return blocks, removed
 
 
 def check_for_indels(blocks, bp: int):

@@ -17,7 +17,7 @@ reference's memusg/time wrappers, .smk:26-35) and written to
 <prefix>.time.tsv under --benchmark.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 import os
 
 import numpy as np
@@ -142,6 +142,16 @@ class NtSyntTPU:
             for s in self.plan():
                 print(s)
             return ""
+        # multi-host runs (parallel/multihost.py): all ranks compute
+        # identical results; only rank 0 touches the shared filesystem
+        try:
+            import jax
+
+            is_rank0 = jax.process_index() == 0
+        except Exception:
+            is_rank0 = True
+        if not is_rank0:
+            cfg = self.cfg = replace(cfg, write_artifacts=False, benchmark=False)
 
         # --- load genomes (rule faidx) --------------------------------
         genomes = {}
@@ -346,6 +356,7 @@ class NtSyntTPU:
             repeat_filter=cfg.repeat_filter,
             chunk=cfg.chunk,
             use_mesh=cfg.use_mesh,
+            write_output=is_rank0,
         )
         with self.timer.stage("synteny"):
             detector = SyntenyDetector(assemblies, params)

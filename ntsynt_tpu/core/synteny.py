@@ -60,6 +60,9 @@ class SyntenyParams:
     # bin/ntsynt_synteny.py:173-192); selections are identical to the
     # single-device engines
     use_mesh: bool = False
+    # multi-host runs: every rank computes identical blocks but only
+    # rank 0 writes the TSV/dot artifacts (parallel/multihost.py)
+    write_output: bool = True
 
     def resolve_collinear_merge(self) -> int:
         """'<num>w' -> num * w, else bp int (bin/ntsynt_synteny.py:37-42)."""
@@ -112,13 +115,6 @@ class SyntenyDetector:
             poss.append(p)
         return np.stack(ctgs), np.stack(poss)
 
-    def _orient_path(self, path_mx: np.ndarray) -> np.ndarray:
-        """Normalize direction: representative assembly ascends."""
-        _, pos = self.assemblies[self.rep].mx_info.lookup(
-            np.asarray([path_mx[0], path_mx[-1]], dtype=np.uint64)
-        )
-        return path_mx[::-1] if pos[0] > pos[1] else path_mx
-
     # ------------------------------------------------------------------
     # stages
     # ------------------------------------------------------------------
@@ -139,27 +135,22 @@ class SyntenyDetector:
             f.write("}\n")
 
     def paths_to_blocks(self, paths):
-        """find_paths_synteny_blocks (bin/ntsynt_synteny.py:543-546)."""
+        """find_paths_synteny_blocks (bin/ntsynt_synteny.py:543-546),
+        batched: ONE lookup over the concatenation of all paths +
+        segmented trim/orientation votes (core/blocks.py
+        blocks_from_paths_batch) instead of per-path lookups."""
         log("Finding synteny blocks")
-        out = []
-        to_remove = []
-        for path_mx in paths:
-            if len(path_mx) < 2:
-                continue
-            path_mx = self._orient_path(path_mx)
-            block, removed = blk.blocks_from_path(
-                path_mx, self._lookup, self.params.k, self.params.m
-            )
-            if block is not None:
-                out.append(block)
-            else:
-                if self.params.dev:
-                    log("Not oriented block of", len(removed), "minimizers", dev_only=True)
-                to_remove.extend(removed.tolist())
-        if to_remove:
-            self.graph = self.graph.delete_nodes_by_hash(
-                np.asarray(to_remove, dtype=np.uint64)
-            )
+        rep_a = self.files.index(self.rep)
+        out, removed = blk.blocks_from_paths_batch(
+            paths, self._lookup, rep_a, self.params.k, self.params.m
+        )
+        if len(removed):
+            if self.params.dev:
+                log(
+                    "Not oriented:", len(removed), "minimizers across",
+                    len(paths) - len(out), "paths", dev_only=True,
+                )
+            self.graph = self.graph.delete_nodes_by_hash(removed)
         return out
 
     def indel_pass(self, blocks):
@@ -380,11 +371,12 @@ class SyntenyDetector:
             blocks = self.indel_pass(blocks)
             blocks = self.min_mx_pass(blocks, 4)
             blocks_sorted = ctx.sorted_blocks(blocks)
-            ctx.write_blocks_tsv(
-                f"{p.prefix}.pre-collinear-merge.synteny_blocks.tsv",
-                blocks_sorted,
-                p.z,
-            )
+            if p.write_output:
+                ctx.write_blocks_tsv(
+                    f"{p.prefix}.pre-collinear-merge.synteny_blocks.tsv",
+                    blocks_sorted,
+                    p.z,
+                )
             if new_w == p.w_rounds[-1]:
                 merged = blk.merge_collinear_blocks(
                     blocks_sorted, p.bp, p.k, self.collinear_merge_bp
@@ -395,9 +387,10 @@ class SyntenyDetector:
                 )
                 if p.dev:
                     self.check_non_overlapping(merged)
-                ctx.write_blocks_tsv(
-                    f"{p.prefix}.synteny_blocks.tsv", merged, p.z, verbose=True
-                )
+                if p.write_output:
+                    ctx.write_blocks_tsv(
+                        f"{p.prefix}.synteny_blocks.tsv", merged, p.z, verbose=True
+                    )
             prev_w = new_w
         log("Done extended synteny blocks")
         log(f"Final synteny blocks can be found in: {p.prefix}.synteny_blocks.tsv")
@@ -468,7 +461,8 @@ class SyntenyDetector:
         self.make_minimizer_graph()
         # the reference always emits the graph artifact from
         # make_minimizer_graph (expected-result listing, SURVEY.md §2.4)
-        self.write_dot(f"{p.prefix}.mx.dot")
+        if p.write_output:
+            self.write_dot(f"{p.prefix}.mx.dot")
         if p.simplify_graph:
             log("Running graph simplification")
             self.graph = self.graph.simplify_bubbles(self.max_edge_weight)
@@ -477,16 +471,17 @@ class SyntenyDetector:
         blocks = self.paths_to_blocks(self.graph.linear_paths())
         blocks = self.indel_pass(blocks)
         blocks = self.min_mx_pass(blocks, 4)
-        if p.interarrivals:
+        if p.interarrivals and p.write_output:
             self.print_interarrivals(blocks)
         blocks_sorted = self.block_ctx.sorted_blocks(blocks)
         if not blocks_sorted:
             raise RuntimeError(
                 "no paths found. Try adjusting the specified k/w parameters."
             )
-        self.block_ctx.write_blocks_tsv(
-            f"{p.prefix}.synteny_blocks.tsv", blocks_sorted, p.z
-        )
+        if p.write_output:
+            self.block_ctx.write_blocks_tsv(
+                f"{p.prefix}.synteny_blocks.tsv", blocks_sorted, p.z
+            )
         log("Done initial synteny blocks")
 
         self.refine_block_coordinates(blocks)

@@ -25,9 +25,10 @@ because graph simplification mutates weights while scanning edges in
 that order.
 
 Scale note: with default parameters the graph holds ~2·L/w shared
-minimizers (~6M nodes for mammal-scale genomes at w=1000); the Python
-build loop is adequate for demo/bench scale and flagged for
-vectorization (np.unique-based) when human-scale runs land.
+minimizers (~6M nodes for mammal-scale genomes at w=1000). Build,
+path extraction (pointer doubling) and the path->block machinery are
+fully vectorized; tests/test_scale.py stress-runs the graph+blocks
+stage at 6M nodes / 100k paths.
 """
 
 from dataclasses import dataclass, field
@@ -122,21 +123,39 @@ class MinimizerGraph:
             for mx_list in mx_lists:
                 list_cat.append(np.asarray(mx_list, dtype=np.uint64))
         all_hashes = np.concatenate(hash_parts + list_cat) if (hash_parts or list_cat) else np.zeros(0, np.uint64)
-        uniq, first_idx = np.unique(all_hashes, return_index=True)
-        appear = np.argsort(first_idx, kind="stable")
-        node_hash = uniq[appear]
-        # hash -> node index lookup (sorted table + permutation)
-        rank_of_sorted = np.empty(len(uniq), dtype=np.int64)
-        rank_of_sorted[appear] = np.arange(len(uniq))
+        # ONE stable argsort yields unique hashes, first-appearance
+        # ranks AND the node id of every occurrence position — replacing
+        # np.unique + per-assembly searchsorted re-joins (at 6M nodes /
+        # 3 assemblies those were ~3x the cost of the sort itself)
+        t = len(all_hashes)
+        if t:
+            order = np.argsort(all_hashes, kind="stable")
+            sh = all_hashes[order]
+            new_grp = np.empty(t, dtype=bool)
+            new_grp[0] = True
+            np.not_equal(sh[1:], sh[:-1], out=new_grp[1:])
+            first_occ = order[new_grp]  # stable => min position per group
+            appear = np.argsort(first_occ, kind="stable")
+            n_nodes = len(first_occ)
+            node_hash = sh[new_grp][appear]
+            rank_of_group = np.empty(n_nodes, dtype=np.int64)
+            rank_of_group[appear] = np.arange(n_nodes)
+            ids = np.empty(t, dtype=np.int64)
+            ids[order] = rank_of_group[np.cumsum(new_grp) - 1]
+        else:
+            node_hash = np.zeros(0, np.uint64)
+            ids = np.zeros(0, np.int64)
 
-        def to_idx(hs):
-            return rank_of_sorted[np.searchsorted(uniq, hs)]
+        # node id of occurrence slices: list_cat entries follow the
+        # (optional) seed prefix inside all_hashes/ids
+        id_base = len(hash_parts[0]) if hash_parts else 0
 
         # ---- adjacency pair occurrences, in insertion order ----------
         occ_u, occ_v, occ_w = [], [], []
         if seed is not None and seed.n_edges:
-            occ_u.append(to_idx(seed.node_hash[seed.eu]))
-            occ_v.append(to_idx(seed.node_hash[seed.ev]))
+            seed_ids = ids[:id_base]  # node id per seed node
+            occ_u.append(seed_ids[seed.eu])
+            occ_v.append(seed_ids[seed.ev])
             occ_w.append(seed.weight.astype(np.int64))
         bl_sorted = (
             np.unique(np.asarray(black_list, dtype=np.uint64))
@@ -150,22 +169,34 @@ class MinimizerGraph:
             loc = np.minimum(np.searchsorted(bl_sorted, hs), len(bl_sorted) - 1)
             return bl_sorted[loc] == hs
 
+        # one batched pass per assembly (not per list): adjacency pairs
+        # are consecutive positions of the concatenated lists, masked at
+        # list boundaries — identical pair order to the per-list loop,
+        # with node ids sliced straight out of `ids` (no re-joins)
         pos = 0
+        base = id_base
         for asm_key, mx_lists in adjacency_lists:
             wt = weights[asm_key]
-            for mx_list in mx_lists:
-                arr = list_cat[pos]
-                pos += 1
-                if len(arr) < 2:
-                    continue
-                iu = to_idx(arr[:-1])
-                iv = to_idx(arr[1:])
-                keep = np.ones(len(iu), dtype=bool)
-                if bl_sorted is not None:
-                    keep = ~(in_bl(arr[:-1]) & in_bl(arr[1:]))
-                occ_u.append(iu[keep])
-                occ_v.append(iv[keep])
-                occ_w.append(np.full(int(keep.sum()), wt, dtype=np.int64))
+            arrs = list_cat[pos : pos + len(mx_lists)]
+            pos += len(mx_lists)
+            lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+            total = int(lens.sum())
+            if total < 2:
+                base += total
+                continue
+            idx_all = ids[base : base + total]
+            base += total
+            lid = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+            adj = lid[1:] == lid[:-1]  # pair (i, i+1) within one list
+            iu = idx_all[:-1][adj]
+            iv = idx_all[1:][adj]
+            keep = np.ones(len(iu), dtype=bool)
+            if bl_sorted is not None:
+                blv = in_bl(np.concatenate(arrs))
+                keep = ~(blv[:-1][adj] & blv[1:][adj])
+            occ_u.append(iu[keep])
+            occ_v.append(iv[keep])
+            occ_w.append(np.full(int(keep.sum()), wt, dtype=np.int64))
 
         if not occ_u:
             return cls(node_hash, *(np.zeros(0, np.int64) for _ in range(3)))
@@ -175,9 +206,18 @@ class MinimizerGraph:
         lo = np.minimum(u, v)
         hi = np.maximum(u, v)
         key = lo * np.int64(len(node_hash)) + hi
-        ukey, kfirst, kinv = np.unique(key, return_index=True, return_inverse=True)
+        # dedupe + weight-sum via ONE stable argsort (np.unique with
+        # return_index/inverse re-sorts and re-gathers several times)
+        korder = np.argsort(key, kind="stable")
+        ks = key[korder]
+        newk = np.empty(len(ks), dtype=bool)
+        newk[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=newk[1:])
+        kfirst = korder[newk]  # stable => first occurrence per edge
+        csum = np.cumsum(wts[korder])
+        ends = np.flatnonzero(np.concatenate([newk[1:], [True]]))
+        wsum = np.diff(np.concatenate([[0], csum[ends]])).astype(np.int64)
         worder = np.argsort(kfirst, kind="stable")  # first-seen edge order
-        wsum = np.bincount(kinv, weights=wts).astype(np.int64)
         # endpoints in their first-seen orientation
         eu = u[kfirst][worder]
         ev = v[kfirst][worder]

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-UMAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalar (not jnp): creating a device array at import time would
+# initialize the XLA backend, which must not happen before
+# jax.distributed.initialize in multi-host runs (parallel/multihost.py)
+UMAX = np.uint32(0xFFFFFFFF)
 
 
 def _use_pallas() -> bool:

@@ -109,18 +109,70 @@ def _unpack_row(packed2, isn):
     return jnp.where(n != 0, jnp.uint8(4), codes.astype(jnp.uint8))
 
 
-def _slab_rows(stream_slice, total: int, d: int, slab_kmers: int, halo: int):
+def _slab_rows(stream_slice, total: int, d: int, slab_kmers: int, halo: int,
+               only_rows=None):
     """Host: cut a code stream into [D, slab_len] rows (slab_len padded
-    to a multiple of 8 with N codes). stream_slice(lo, hi) -> uint8."""
+    to a multiple of 8 with N codes). stream_slice(lo, hi) -> uint8.
+    only_rows: under multi-process execution each host materializes only
+    its own devices' slabs (per-host genome partitioning — the rest stay
+    padding and are never uploaded)."""
     slab_len = -(-(slab_kmers + halo) // 8) * 8
     rows = np.full((d, slab_len), 4, dtype=np.uint8)
-    for i in range(d):
+    for i in range(d) if only_rows is None else sorted(only_rows):
         lo = i * slab_kmers
         hi = min(lo + slab_kmers + halo, total)
         if hi > lo:
             seg = stream_slice(lo, hi)
             rows[i, : len(seg)] = seg
     return rows
+
+
+def _local_rows(mesh) -> list | None:
+    """Mesh-order indices of this process's devices (None = all local:
+    single-process execution)."""
+    if jax.process_count() == 1:
+        return None
+    pid = jax.process_index()
+    flat = list(np.asarray(mesh.devices).reshape(-1))
+    return [i for i, dev in enumerate(flat) if dev.process_index == pid]
+
+
+def _put_sharded(mesh, rows: np.ndarray):
+    """Upload [D, L] host rows as a dim-0-sharded global array. Single
+    process: plain upload (jit re-shards). Multi-process: each host
+    contributes only its addressable shards
+    (jax.make_array_from_callback), so slabs ride the local host->device
+    path and cross-host traffic is limited to the collectives."""
+    if jax.process_count() == 1:
+        return jnp.asarray(rows)
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.make_array_from_callback(rows.shape, sharding, lambda idx: rows[idx])
+
+
+def _put_replicated(mesh, host_arr: np.ndarray):
+    """Upload a host array fully replicated over the (possibly
+    multi-process) mesh — every process must pass the same value."""
+    if jax.process_count() == 1:
+        return jnp.asarray(host_arr)
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+    return jax.make_array_from_callback(
+        host_arr.shape, sharding, lambda idx: host_arr[idx]
+    )
+
+
+def _get_full(arr) -> np.ndarray:
+    """Fetch a (possibly cross-process-sharded) array to every host:
+    device_get when fully addressable, else an all-gather over the
+    process set (DCN analog — jax.experimental.multihost_utils)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 # ---------------------------------------------------------------------------
@@ -272,16 +324,19 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
         slab_len = -(-max((n_segs - 1) * seg + nc_last, S + halo) // 8) * 8
         seg_slots = min(_next_pow2(seg), max(256, _next_pow2(8 * seg // max(w, 1))))
 
-        rows = _slab_rows(stream.slice, stream.total, d, S, slab_len - S)
+        rows = _slab_rows(stream.slice, stream.total, d, S, slab_len - S,
+                          only_rows=_local_rows(mesh))
         packed2, isn = _pack_rows(rows)
         fn = _sharded_stream_sketch_fn(
             mesh, k, w, seg, n_segs, slab_len, seg_slots,
             None if common_bf is None else common_bf.bits_log2,
             None if repeat_bf is None else repeat_bf.bits_log2,
         )
-        cw = jnp.zeros(1, jnp.uint32) if common_bf is None else common_bf.words
-        rw = jnp.zeros(1, jnp.uint32) if repeat_bf is None else repeat_bf.words
-        vals, wins, cnts = jax.device_get(fn(jnp.asarray(packed2), jnp.asarray(isn), cw, rw))
+        dummy = np.zeros(1, np.uint32)
+        cw = _put_replicated(mesh, dummy) if common_bf is None else common_bf.words
+        rw = _put_replicated(mesh, dummy) if repeat_bf is None else repeat_bf.words
+        out = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), cw, rw)
+        vals, wins, cnts = (_get_full(a) for a in out)
         cnts = cnts.reshape(-1)
 
         # vectorized gather of the compacted selections
@@ -399,7 +454,7 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
     num_bits = bf_size = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
     bits_log2 = num_bits.bit_length() - 1
 
-    prev = jnp.zeros(num_bits // 32, jnp.uint32)
+    prev = _put_replicated(mesh, np.zeros(num_bits // 32, np.uint32))
     for gi, g in enumerate(ordered):
         # genome k-mer stream: contigs + (k-1) N separators
         parts, sep = [], np.full(k - 1, 4, dtype=np.uint8)
@@ -421,11 +476,12 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
         def _slice(lo, hi):
             return stream[lo:hi]
 
-        rows = _slab_rows(_slice, len(stream), d, slab_kmers, slab_len - slab_kmers)
+        rows = _slab_rows(_slice, len(stream), d, slab_kmers, slab_len - slab_kmers,
+                          only_rows=_local_rows(mesh))
         packed2, isn = _pack_rows(rows)
         fn = _sharded_bf_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2,
                                   cascade=(gi > 0))
-        prev = fn(jnp.asarray(packed2), jnp.asarray(isn), prev)
+        prev = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), prev)
     return bloom.DeviceBloomFilter(num_bits, k, words=prev)
 
 

@@ -119,3 +119,57 @@ def test_block_rows_and_sorting():
 def test_assembly_key_stripping():
     assert blk.strip_assembly_key("genome.fa.k24.w1000.tsv") == "genome.fa"
     assert blk.strip_assembly_key("genome.fa") == "genome.fa"
+
+
+def test_batch_blocks_match_scalar_oracle():
+    """blocks_from_paths_batch must reproduce the scalar per-path
+    blocks_from_path (incl. direction normalization, the
+    past_start_flag trim quirk, orientation votes and removals)."""
+    rng = np.random.default_rng(5)
+    n_asm, n_hashes = 3, 5000
+    pool = np.unique(rng.integers(1, 2**63, n_hashes, dtype=np.uint64))
+    sorted_pool = np.sort(pool)
+    ctg = rng.integers(0, 3, (n_asm, len(pool))).astype(np.int32)
+    pos = rng.integers(0, 10**7, (n_asm, len(pool))).astype(np.int64)
+    # half the paths monotone (exercise '+'/'-'), half random ('?')
+    paths, used = [], 0
+    for i in range(60):
+        ln = int(rng.integers(1, 40))
+        p = pool[used : used + ln]
+        used += ln
+        if len(p) < 1:
+            break
+        if i % 2 == 0:
+            loc = np.searchsorted(sorted_pool, p)
+            mono = np.sort(pos[0, loc]) + np.arange(len(p))  # strictly inc
+            pos[0, loc] = mono if i % 4 == 0 else mono[::-1]
+            ctg[:, loc] = ctg[:, loc[0]][:, None]  # no contig change
+        paths.append(p)
+
+    def lookup(hs):
+        loc = np.searchsorted(sorted_pool, hs)
+        return ctg[:, loc], pos[:, loc]
+
+    rep_a = 1
+    got_blocks, got_removed = blk.blocks_from_paths_batch(paths, lookup, rep_a, 24, 90.0)
+
+    exp_blocks, exp_removed = [], []
+    for p in paths:
+        if len(p) < 2:
+            continue
+        _, pp = lookup(np.asarray([p[0], p[-1]], np.uint64))
+        p2 = p[::-1] if pp[rep_a, 0] > pp[rep_a, 1] else p
+        b, removed = blk.blocks_from_path(p2, lookup, 24, 90.0)
+        if b is not None:
+            exp_blocks.append(b)
+        else:
+            exp_removed.append(removed)
+
+    assert len(got_blocks) == len(exp_blocks)
+    for g, e in zip(got_blocks, exp_blocks):
+        assert (g.mx == e.mx).all()
+        assert (g.pos == e.pos).all()
+        assert (g.ctg == e.ctg).all()
+        assert g.ori == e.ori
+    exp_cat = np.concatenate(exp_removed) if exp_removed else np.zeros(0, np.uint64)
+    assert (np.sort(got_removed) == np.sort(exp_cat)).all()
