@@ -24,8 +24,13 @@ import sys
 import tempfile
 import time
 
-# persistent compile cache: the axon tunnel makes first compiles very slow
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ntsynt_jax_cache")
+# persistent compile cache: the axon tunnel makes first compiles very
+# slow; prefer the pre-warmed cache shipped in the checkout (.jax_cache)
+_repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _repo_cache if os.path.isdir(_repo_cache) else "/tmp/ntsynt_jax_cache",
+)
 
 import numpy as np
 

@@ -11,6 +11,17 @@ calls :func:`enable_compile_cache` explicitly after importing jax.
 import os
 
 DEFAULT_DIR = "/tmp/ntsynt_jax_cache"
+# a cache shipped with the checkout (pre-warmed for the benchmark
+# program shapes — first compiles over the device tunnel cost
+# 100-400 s each, ~7 min of warmup per fresh machine without it)
+_REPO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def default_cache_dir() -> str:
+    return _REPO_DIR if os.path.isdir(_REPO_DIR) else DEFAULT_DIR
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
@@ -24,6 +35,6 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         return None
     import jax
 
-    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or DEFAULT_DIR
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or default_cache_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     return cache_dir
