@@ -68,6 +68,10 @@ class PipelineConfig:
     w: int = 1000
     prefix: str | None = None
     fpr: float = 0.025
+    bf_bytes: int | None = None  # force the common-BF byte size (else
+    # sized from fpr by the reference formula; the 2^35-bit HBM cap can
+    # raise effective FPR at multi-Gbp scale — see tests/test_e2e.py
+    # test_capped_bf_block_quality for the measured block-level effect)
     block_size: int = 500  # -z
     indel: int = 500  # --bp
     merge: str = "1w"  # --collinear-merge
@@ -203,14 +207,14 @@ class NtSyntTPU:
                     if stub_fresh:
                         log(f"Reusing {bf_path} (stub: deterministic on-device rebuild)")
                     ordered = sorted(genomes.values(), key=lambda g: g.path)
-                    num_bits = bf_build.bf_size_bits(ordered, cfg.fpr)
+                    num_bits = bf_build.bf_size_bits(ordered, cfg.fpr, cfg.bf_bytes)
                     # lazy entries: each genome's host stream build/pack
                     # overlaps the previous level's async device dispatch
                     if cfg.use_mesh:
                         from ..parallel import mesh as pmesh
 
                         common_bf = pmesh.distributed_common_bf(
-                            ordered, cfg.k, cfg.fpr
+                            ordered, cfg.k, cfg.fpr, bf_bytes=cfg.bf_bytes
                         )
                     else:
                         entries = [

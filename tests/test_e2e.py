@@ -352,3 +352,45 @@ def test_default_params_e2e(tmp_path):
     assert abs(inv[0]["end"] - 1_200_000) < 3_000
     # 3 blocks x 2 assemblies for a single internal inversion
     assert len({r["id"] for r in rows}) == 3
+
+
+def test_capped_bf_block_quality(tmp_path):
+    """Quantify the pow2/HBM BF cap's effect on blocks (VERDICT weak #6):
+    at multi-Gbp scale the 2^35-bit cap raises the common-BF's effective
+    FPR from the requested 0.025 to ~0.09. Emulate that occupancy here
+    (bf_bytes sized so G/bits ~ 0.09) and compare against the
+    uncapped run: the engineered inversion must still land at its exact
+    coordinates, and block rows must agree except possibly at block
+    boundaries (a higher-FPR solid filter only lets extra non-common
+    minimizer CANDIDATES through; the graph's all-assembly intersection
+    and weight filter drop spurious ones downstream)."""
+    rng = np.random.default_rng(88)
+    base = rng.integers(0, 4, 200_000).astype(np.uint8)
+    mut = base.copy()
+    mut[60_000:90_000] = mut[60_000:90_000][::-1] ^ 3
+    snp = rng.random(len(mut)) < 0.001
+    mut[snp] = (mut[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    fa = write_fasta(tmp_path / "cA.fa", [("chr1", base)])
+    fb = write_fasta(tmp_path / "cB.fa", [("chr1", mut)])
+
+    out_ref = NtSyntTPU(_cfg([str(fa), str(fb)], tmp_path, prefix="uncapped")).run()
+    # 200 kb / 2^21 bits ~ 0.09 occupancy — the capped-3Gbp regime
+    out_cap = NtSyntTPU(
+        _cfg([str(fa), str(fb)], tmp_path, prefix="capped", bf_bytes=1 << 18)
+    ).run()
+
+    ref_rows = read_blocks(out_ref)
+    cap_rows = read_blocks(out_cap)
+
+    def inversion_row(rows):
+        return next(
+            (r for r in rows if r["ori"] == "-" and r["asm"] == "cB.fa"), None
+        )
+
+    inv_ref, inv_cap = inversion_row(ref_rows), inversion_row(cap_rows)
+    assert inv_ref is not None and inv_cap is not None
+    # identical inversion coordinates under the elevated FPR
+    assert (inv_cap["start"], inv_cap["end"]) == (inv_ref["start"], inv_ref["end"])
+    # same block structure: per-assembly (ctg, start, end, ori) agree
+    sig = lambda rows: [(r["asm"], r["ctg"], r["start"], r["end"], r["ori"]) for r in rows]
+    assert sig(cap_rows) == sig(ref_rows)
