@@ -220,16 +220,22 @@ class NtSyntTPU:
                         entries = [
                             (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
                         ]
+                        # gigabase genomes: drop each device code buffer
+                        # as soon as its cascade level is dispatched (the
+                        # two levels alone are up to 8 GiB; holding every
+                        # gigabase buffer beside them OOMs a 16 GB chip).
+                        # The sketch stage re-prepares on demand (~3% of
+                        # its cost at 3 Gbp).
+                        big = {
+                            g.name for g in ordered if g.total_bases > 500_000_000
+                        }
                         common_bf = bf_build.build_common_bf_from_device(
-                            entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK
+                            entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK,
+                            release=(
+                                (lambda n: prepared.pop(n, None) if n in big else None)
+                                if big else None
+                            ),
                         )
-                    # gigabase genomes: drop the device code buffers while
-                    # the two cascade levels (up to 4 GiB each) are alive;
-                    # the sketch stage re-prepares on demand (~3% of its
-                    # cost at 3 Gbp, but keeps peak HBM under budget)
-                    for g in ordered:
-                        if g.total_bases > 500_000_000:
-                            prepared.pop(g.name, None)
                     if cfg.write_artifacts:
                         if cfg.bf_artifact == "full":
                             save_threads.append((common_bf, bf_path))

@@ -184,7 +184,8 @@ def stream_segments(n_kmers: int, chunk: int) -> int:
     return -(-max(n_kmers, 0) // chunk)
 
 
-def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEFAULT_CHUNK):
+def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEFAULT_CHUNK,
+                                release=None):
     """Cascading common-k-mer BF over pre-uploaded device code buffers.
 
     Args:
@@ -199,6 +200,12 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
         invalid and are skipped, so any stream layout with >= k-1
         separator codes between contigs inserts exactly the genome's
         k-mer set.
+      release: optional callable(name) invoked right after a genome's
+        level has been dispatched — the caller drops its reference to
+        that genome's code buffer so HBM frees as soon as the queued
+        level executes (at 2^35-bit filters the two cascade levels
+        alone are 8 GiB; keeping every gigabase code buffer resident
+        alongside them exhausts a 16 GB chip).
 
     One dispatch per cascade level; occupancy logging is deferred to the
     end so no host sync lands between levels.
@@ -220,6 +227,9 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     if n_segs0 > 0:
         fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
         bf.words = fn(buf0, jnp.int32(n_segs0), bf.words)
+    del buf0
+    if release is not None:
+        release(name0)
     levels.append((name0, _popcount_partials(bf.words)))
 
     for e in entries[1:]:
@@ -228,6 +238,9 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
         if n_segs > 0:
             fn = _cascade_stream_fn(k, chunk, bits_log2, sweep)
             nxt.words = fn(buf, jnp.int32(n_segs), bf.words, nxt.words)
+        del buf
+        if release is not None:
+            release(name)
         bf = nxt
         levels.append((name, _popcount_partials(bf.words)))
 
