@@ -3,20 +3,34 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Workload: two synthetic 100 Mbp genomes at 0.1% SNP divergence plus a
-50 kb inversion — the shape of the reference's headline benchmark
-("2 human genomes, 0.1% simulated divergence": 26 min / 34 GB RSS on a
-12-thread CPU, /root/reference/README.md:156). The reference's wall
-clock scales ~linearly in genome size, so the baseline comparator is
-pro-rated per Gbp: 1560 s / 6 Gbp = 260 s/Gbp.
+Default workload (round 3): THREE synthetic 1 Gbp genomes at 0.1% SNP
+divergence plus a 500 kb inversion — the shape of the reference's
+headline benchmarks (2-3 human-scale assemblies at 0.1% simulated
+divergence: 26 min / 34 GB RSS for 2x3 Gbp on a 12-thread CPU,
+/root/reference/README.md:156-158; every BASELINE.json config is >= 3
+assemblies). The reference's wall clock scales ~linearly in genome
+size, so the baseline comparator is pro-rated per Gbp:
+1560 s / 6 Gbp = 260 s/Gbp.
 
 vs_baseline = (260 s/Gbp * total Gbp) / our wall clock — i.e. how many
 times faster than 12-thread CPU ntSynt on the same amount of sequence.
 
-The steady-state single-chip sketching rate (Gbp/s) is reported as an
-extra field (BASELINE.json's north-star metric).
+Flags:
+  --gbp G       per-genome size in Gbp (default 1.0)
+  --genomes N   number of genomes (default 3; 2 reproduces the earlier
+                rounds' 2-genome shape)
+  --runs R      measured runs; the MINIMUM is reported (shared-device
+                wall varies 2-3x with external tenant load) and every
+                run's wall is echoed in `runs_s` (default 3)
+  --small       shorthand for --gbp 0.1 (the round-1/2 workload)
+
+The warmup run doubles as the compile-cache guard: with the shipped
+.jax_cache every program should hit the cache, so a warmup far above
+the measured steady state means the cache is stale (each missed program
+costs 100-400 s over the device tunnel). `cache_ok` reports that check.
 """
 
+import argparse
 import json
 import os
 import shutil
@@ -24,51 +38,71 @@ import sys
 import tempfile
 import time
 
-# persistent compile cache: the axon tunnel makes first compiles very
-# slow; prefer the pre-warmed cache shipped in the checkout (.jax_cache)
-_repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _repo_cache if os.path.isdir(_repo_cache) else "/tmp/ntsynt_jax_cache",
-)
-
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GBP_PER_SECOND_BASELINE = 1.0 / 260.0  # reference: 260 s per Gbp end-to-end
 
-L = 100_000_000  # per genome
 DIVERGENCE = 0.001
 
 
-def make_genomes(tmp):
-    rng = np.random.default_rng(20260817)
-    base = rng.integers(0, 4, L).astype(np.uint8)
-    mut = base.copy()
-    snp = rng.random(L) < DIVERGENCE
-    mut[snp] = (mut[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
-    s, e = 40_000_000, 40_050_000
-    mut[s:e] = mut[s:e][::-1] ^ 3  # 50 kb inversion
+def _write_fasta(path: str, g: np.ndarray, step: int = 80):
     dec = np.frombuffer(b"ACGT", dtype=np.uint8)
+    raw = dec[g]
+    pad = (-len(raw)) % step
+    body = np.full(((len(raw) + pad) // step, step + 1), ord("\n"), dtype=np.uint8)
+    body[:, :step] = np.concatenate([raw, np.full(pad, ord("A"), np.uint8)]).reshape(
+        -1, step
+    )
+    with open(path, "wb") as f:
+        f.write(b">chr1\n")
+        f.write(body.tobytes())
+
+
+def make_genomes(tmp, n_genomes: int, length: int):
+    """Genome A + (n-1) mutated copies. Every copy gets 0.1% SNPs; copy 1
+    additionally carries a length/2000-sized inversion (50 kb at 100 Mbp,
+    500 kb at 1 Gbp) whose detection is asserted."""
+    rng = np.random.default_rng(20260817)
+    base = rng.integers(0, 4, length, dtype=np.uint8)
     paths = []
-    step = 80
-    for name, g in [("benchA.fa", base), ("benchB.fa", mut)]:
-        p = os.path.join(tmp, name)
-        raw = dec[g]
-        pad = (-len(raw)) % step
-        rows = np.full((len(raw) + pad) // step, step + 1, dtype=np.int64)
-        body = np.full(((len(raw) + pad) // step, step + 1), ord("\n"), dtype=np.uint8)
-        body[:, :step] = np.concatenate([raw, np.full(pad, ord("A"), np.uint8)]).reshape(-1, step)
-        with open(p, "wb") as f:
-            f.write(b">chr1\n")
-            f.write(body.tobytes())
-        del rows
+    p0 = os.path.join(tmp, "benchA.fa")
+    _write_fasta(p0, base)
+    paths.append(p0)
+    inv_len = max(length // 2000, 1000)
+    for gi in range(1, n_genomes):
+        mut = base.copy()
+        # sparse SNP sampling: a dense rng.random(length) mask costs an
+        # 8 B/base float64 temp (8 GB at 1 Gbp on a host that faults
+        # fresh pages at ~40 MB/s); sampling positions with replacement
+        # is equivalent at 0.1% density (collisions re-mutate a base)
+        n_snp = int(rng.binomial(length, DIVERGENCE))
+        pos = rng.integers(0, length, n_snp)
+        mut[pos] = (mut[pos] + rng.integers(1, 4, n_snp, dtype=np.uint8)) % 4
+        if gi == 1:
+            s = int(length * 0.4)
+            e = s + inv_len
+            mut[s:e] = mut[s:e][::-1] ^ 3
+        p = os.path.join(tmp, f"bench{chr(ord('B') + gi - 1)}.fa")
+        _write_fasta(p, mut)
         paths.append(p)
+        del mut, pos
+    del base
     return paths
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbp", type=float, default=1.0)
+    ap.add_argument("--genomes", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    if args.small:
+        args.gbp = 0.1
+    L = int(args.gbp * 1e9)
+
     import jax
 
     from ntsynt_tpu.core.pipeline import NtSyntTPU, PipelineConfig
@@ -79,7 +113,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="ntsynt_bench_")
     try:
         t0 = time.time()
-        fastas = make_genomes(tmp)
+        fastas = make_genomes(tmp, args.genomes, L)
         gen_time = time.time() - t0
 
         def run_once(force):
@@ -102,13 +136,20 @@ def main():
             print("stage timings:", runner.timer.as_json(), file=sys.stderr, flush=True)
             return time.time() - t, out
 
-        # warm-up run (compiles; artifacts cached), then best-of-2
+        # warm-up run (compiles; artifacts cached), then min-of-R
         # measured runs (the shared device's run-to-run wall varies
         # 2-3x with external tenant load; min recovers capability)
         warm_wall, out = run_once(force=False)
-        e2e_wall, out = run_once(force=True)
-        e2e_wall2, out = run_once(force=True)
-        e2e_wall = min(e2e_wall, e2e_wall2)
+        runs = []
+        for _ in range(max(args.runs, 1)):
+            wall, out = run_once(force=True)
+            runs.append(round(wall, 2))
+        e2e_wall = min(runs)
+
+        # cache guard: a healthy warmup is bounded by the steady-state
+        # wall plus host-side artifact costs; one missed compile alone
+        # adds 100-400 s (CLAUDE.md). Flag warmups > steady + 90 s.
+        cache_ok = warm_wall < e2e_wall * 2 + 90
 
         # block sanity: the engineered inversion must be found
         n_blocks = sum(1 for _ in open(out))
@@ -123,18 +164,20 @@ def main():
         sketch_wall = time.time() - t0
         sketch_gbps = g.total_bases / sketch_wall / 1e9
 
-        total_gbp = 2 * L / 1e9
+        total_gbp = args.genomes * L / 1e9
         vs_baseline = (total_gbp / GBP_PER_SECOND_BASELINE) / e2e_wall
         print(
             json.dumps(
                 dict(
-                    metric="e2e_synteny_2x100Mbp_0.1pct",
-                    value=round(e2e_wall, 2),
+                    metric=f"e2e_synteny_{args.genomes}x{L // 1_000_000}Mbp_0.1pct",
+                    value=e2e_wall,
                     unit="s",
                     vs_baseline=round(vs_baseline, 2),
                     sketch_gbps_per_chip=round(sketch_gbps, 3),
                     warmup_wall_s=round(warm_wall, 2),
-                    n_measured_runs=2,
+                    runs_s=runs,
+                    n_measured_runs=len(runs),
+                    cache_ok=bool(cache_ok),
                     backend=backend,
                     n_block_rows=n_blocks,
                     inversion_found=bool(found_inv),

@@ -57,9 +57,19 @@ class MxInfo:
 
     @classmethod
     def from_arrays(cls, hashes, ctg, pos) -> "MxInfo":
-        order = np.argsort(hashes, kind="stable")
+        """Build from parallel arrays. ``hashes`` MUST be duplicate-free:
+        lookup()'s >=2^18 sort-merge fast path resolves table duplicates
+        last-write-wins while the searchsorted path returns the first
+        match, so duplicates would make results batch-size-dependent.
+        All construction paths dedupe first (read_minimizers semantics);
+        this check keeps a future caller from silently violating that."""
+        sh = np.asarray(hashes, np.uint64)
+        order = np.argsort(sh, kind="stable")
+        sh = sh[order]
+        if len(sh) > 1 and (sh[1:] == sh[:-1]).any():
+            raise ValueError("MxInfo.from_arrays requires duplicate-free hashes")
         return cls(
-            np.asarray(hashes, np.uint64)[order],
+            sh,
             np.asarray(ctg, np.int32)[order],
             np.asarray(pos, np.int64)[order],
         )
@@ -80,22 +90,30 @@ class MxInfo:
             raise KeyError("minimizer hash not in mx_info")
         if len(hashes) >= (1 << 18):
             uq, inv = np.unique(hashes, return_inverse=True)
-            loc_u = np.minimum(np.searchsorted(uq, self.sorted_hash), len(uq) - 1)
-            hit = uq[loc_u] == self.sorted_hash  # ascending probes
-            tgt = loc_u[hit]
-            ctg_u = np.empty(len(uq), np.int32)
-            pos_u = np.empty(len(uq), np.int64)
-            found = np.zeros(len(uq), dtype=bool)
-            ctg_u[tgt] = self.ctg[hit]
-            pos_u[tgt] = self.pos[hit]
-            found[tgt] = True
-            if not found.all():
-                raise KeyError("minimizer hash not in mx_info")
+            ctg_u, pos_u = self.lookup_unique_sorted(uq)
             return ctg_u[inv], pos_u[inv]
         loc = np.searchsorted(self.sorted_hash, hashes)
         if ((loc >= n) | (self.sorted_hash[np.minimum(loc, n - 1)] != hashes)).any():
             raise KeyError("minimizer hash not in mx_info")
         return self.ctg[loc], self.pos[loc]
+
+    def lookup_unique_sorted(self, uq):
+        """Sort-merge lookup of an already-sorted duplicate-free query
+        array (the >=2^18 fast path of lookup(), with the query sort
+        hoisted so multi-assembly callers pay it once — see
+        SyntenyDetector._lookup)."""
+        loc_u = np.minimum(np.searchsorted(uq, self.sorted_hash), len(uq) - 1)
+        hit = uq[loc_u] == self.sorted_hash  # ascending probes
+        tgt = loc_u[hit]
+        ctg_u = np.empty(len(uq), np.int32)
+        pos_u = np.empty(len(uq), np.int64)
+        found = np.zeros(len(uq), dtype=bool)
+        ctg_u[tgt] = self.ctg[hit]
+        pos_u[tgt] = self.pos[hit]
+        found[tgt] = True
+        if not found.all():
+            raise KeyError("minimizer hash not in mx_info")
+        return ctg_u, pos_u
 
     def update(self, hashes, ctg, pos) -> "MxInfo":
         """Merge in new entries; on duplicate hash the NEW value wins
@@ -205,18 +223,23 @@ def filter_common(assemblies: dict) -> None:
         np.concatenate(a.lists) if a.lists else np.zeros(0, np.uint64)
         for a in assemblies.values()
     ]
-    # unique-with-inverse so the membership test runs over SORTED unique
-    # hashes (sequential probes) and maps back with one gather, instead
-    # of a random-order binary search per occurrence
-    uniqs = [np.unique(f, return_inverse=True) for f in flats]
-    common = uniqs[0][0]
-    for s, _ in uniqs[1:]:
-        common = np.intersect1d(common, s, assume_unique=True)
-    for a, flat, (uq, inv) in zip(assemblies.values(), flats, uniqs):
+    # each flat is duplicate-free (read_minimizers dedupe, enforced by
+    # MxInfo.from_arrays), so ONE argsort per assembly gives the sorted
+    # view for sequential membership probes; successive membership
+    # filters replace np.intersect1d (which re-sorts the concatenation)
+    orders = [np.argsort(f, kind="stable") for f in flats]
+    sorteds = [f[o] for f, o in zip(flats, orders)]
+    common = sorteds[0]
+    for s in sorteds[1:]:
+        common = common[_membership(common, s)]
+    for a, flat, order, sf in zip(assemblies.values(), flats, orders, sorteds):
+        if not a.lists:
+            continue  # keep lists == [] (np.split would yield [empty array])
         # one batched membership + re-split (a per-list loop costs 10^5
         # small searchsorted calls at stress scale)
         lens = np.asarray([len(l) for l in a.lists], dtype=np.int64)
-        keep = _membership(uq, common)[inv]
+        keep = np.empty(len(flat), dtype=bool)
+        keep[order] = _membership(sf, common)
         kept_cum = np.concatenate([[0], np.cumsum(keep)])
         bounds = np.concatenate([[0], np.cumsum(lens)])
         kept_per_list = kept_cum[bounds[1:]] - kept_cum[bounds[:-1]]

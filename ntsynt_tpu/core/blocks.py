@@ -294,24 +294,38 @@ def check_for_indels(blocks, bp: int):
     A break occurs between minimizers i, i+1 when the spread of
     per-assembly interarrival distances exceeds bp. Returns
     (new_blocks, removed_edge_hash_pairs).
+
+    Batched: ONE segmented spread test over the concatenation of all
+    blocks (a per-block numpy loop cost ~2 s at the 10^5-block stress
+    scale, tests/test_scale.py); only blocks that actually break pay
+    per-block Python.
     """
+    if not blocks:
+        return [], []
+    lens = np.asarray([b.n_minimizers for b in blocks], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    cat_pos = np.concatenate([b.pos for b in blocks], axis=1).astype(np.int64, copy=False)
+    bid = np.repeat(np.arange(len(blocks), dtype=np.int64), lens)
+    internal = bid[1:] == bid[:-1]
+    d = np.abs(np.diff(cat_pos, axis=1))
+    spread = d.max(axis=0) - d.min(axis=0)
+    brk = internal & (spread > bp)
+    if not brk.any():
+        return list(blocks), []
+    cat_mx = np.concatenate([b.mx for b in blocks])
+    brk_idx = np.flatnonzero(brk)
+    removed_edges = list(
+        zip(cat_mx[brk_idx].tolist(), cat_mx[brk_idx + 1].tolist())
+    )
+    breaks_per_block = np.split(brk_idx, np.searchsorted(brk_idx, offs[1:-1]))
     out = []
-    removed_edges = []
-    for block in blocks:
-        if block.n_minimizers < 2:
-            out.append(block)
+    for b, (o, blk_breaks) in zip(blocks, zip(offs[:-1], breaks_per_block)):
+        if len(blk_breaks) == 0:
+            out.append(b)
             continue
-        d = np.abs(np.diff(block.pos.astype(np.int64), axis=1))
-        spread = d.max(axis=0) - d.min(axis=0)
-        breaks = np.where(spread > bp)[0]
-        if len(breaks) == 0:
-            out.append(block)
-            continue
-        for i in breaks:
-            removed_edges.append((int(block.mx[i]), int(block.mx[i + 1])))
-        bounds = [0] + (breaks + 1).tolist() + [block.n_minimizers]
+        bounds = [0] + (blk_breaks - o + 1).tolist() + [b.n_minimizers]
         for b0, b1 in zip(bounds, bounds[1:]):
-            out.append(block.slice(b0, b1))
+            out.append(b.slice(b0, b1))
     return out, removed_edges
 
 

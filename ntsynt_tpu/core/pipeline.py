@@ -103,7 +103,7 @@ class NtSyntTPU:
 
     def __init__(self, config: PipelineConfig):
         self.cfg = config
-        self.timer = StageTimer()
+        self.timer = StageTimer(sample_memory=config.benchmark)
         set_verbose(config.dev)
         from ..utils.compile_cache import enable_compile_cache
 
@@ -220,15 +220,22 @@ class NtSyntTPU:
                         entries = [
                             (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
                         ]
-                        # gigabase genomes: drop each device code buffer
-                        # as soon as its cascade level is dispatched (the
-                        # two levels alone are up to 8 GiB; holding every
-                        # gigabase buffer beside them OOMs a 16 GB chip).
-                        # The sketch stage re-prepares on demand (~3% of
-                        # its cost at 3 Gbp).
-                        big = {
-                            g.name for g in ordered if g.total_bases > 500_000_000
-                        }
+                        # gigabase genomes: drop device code buffers as
+                        # their cascade level is dispatched ONLY when the
+                        # projected residency (two cascade levels + every
+                        # stream) would not fit HBM — releasing costs the
+                        # sketch stage a re-pack + re-upload (~5-12 s per
+                        # Gbp over the tunnel), so keep buffers whenever
+                        # the chip can hold them (2x1 Gbp + a capped
+                        # 4 GiB filter fits a 16 GB chip with room).
+                        resident = 2 * (num_bits // 8) + sum(
+                            int(g.total_bases * 1.15) for g in ordered
+                        )
+                        big = (
+                            {g.name for g in ordered if g.total_bases > 500_000_000}
+                            if resident > 13_000_000_000
+                            else set()
+                        )
                         common_bf = bf_build.build_common_bf_from_device(
                             entries, cfg.k, num_bits, chunk=bf_build.DEFAULT_CHUNK,
                             release=(
@@ -248,9 +255,16 @@ class NtSyntTPU:
                     repeat_bf = bloom.load_bf(rbf_path)
                 else:
                     rstub_fresh = self._artifact_fresh(rbf_path, *cfg.fastas)
-                    repeat_bf = bf_build.build_repeat_bf(
-                        list(genomes.values()), cfg.k, chunk=cfg.chunk
-                    )
+                    if cfg.use_mesh:
+                        from ..parallel import mesh as pmesh
+
+                        repeat_bf = pmesh.distributed_repeat_bf(
+                            list(genomes.values()), cfg.k
+                        )
+                    else:
+                        repeat_bf = bf_build.build_repeat_bf(
+                            list(genomes.values()), cfg.k, chunk=cfg.chunk
+                        )
                     if cfg.write_artifacts:
                         if cfg.bf_artifact == "full":
                             save_threads.append((repeat_bf, rbf_path))
@@ -280,18 +294,39 @@ class NtSyntTPU:
             )
             plan.append((name, g, tsv_path, rep_filter, fresh))
 
-        overlap_ok = not cfg.use_mesh and all(
-            g.total_bases <= 500_000_000 for _, g, *_ in plan
-        )
+        # dispatch/collect overlap needs two code streams + one filter
+        # resident: gate on the projected HBM footprint, not a fixed
+        # per-genome size (a capped 4 GiB BF + 2x ~1.1 GB streams fits
+        # a 16 GB chip, so 2x1 Gbp runs fully overlapped). Applies to
+        # the mesh path too (sharded_sketch_dispatch/collect).
+        bf_words_bytes = 0 if common_bf is None else common_bf.num_bits // 8
+        if sketch_repeat is not None:
+            bf_words_bytes += sketch_repeat.num_bits // 8
+        top2 = sorted((int(g.total_bases * 1.15) for _, g, *_ in plan), reverse=True)[:2]
+        overlap_ok = bf_words_bytes + sum(top2) + (1 << 30) <= 14_000_000_000
         fresh_queue = [p[0] for p in plan if p[4]]
 
         def _dispatch(name):
+            if cfg.use_mesh:
+                from ..parallel import mesh as pmesh
+
+                return pmesh.sharded_sketch_dispatch(
+                    genomes[name], cfg.k, cfg.w,
+                    common_bf=common_bf, repeat_bf=sketch_repeat,
+                )
             stream, legit, dev_buf, _ = _prepared(name)
             return sketch_ops.sketch_genome_dispatch(
                 genomes[name], cfg.k, cfg.w,
                 common_bf=common_bf, repeat_bf=sketch_repeat,
                 chunk=cfg.chunk, prepared=(stream, legit, dev_buf),
             )
+
+        def _collect(handle):
+            if cfg.use_mesh:
+                from ..parallel import mesh as pmesh
+
+                return pmesh.sharded_sketch_collect(handle)
+            return sketch_ops.sketch_genome_collect(handle)
 
         handles = {}
         for name, g, tsv_path, rep_filter, fresh in plan:
@@ -304,19 +339,11 @@ class NtSyntTPU:
                 )
             else:
                 with self.timer.stage(f"sketch:{name}"):
-                    if cfg.use_mesh:
-                        from ..parallel import mesh as pmesh
-
-                        sk = pmesh.sharded_sketch_genome(
-                            g, cfg.k, cfg.w,
-                            common_bf=common_bf, repeat_bf=sketch_repeat,
-                        )
-                    else:
-                        h = handles.pop(name, None) or _dispatch(name)
-                        fresh_queue.remove(name)
-                        if overlap_ok and fresh_queue and fresh_queue[0] not in handles:
-                            handles[fresh_queue[0]] = _dispatch(fresh_queue[0])
-                        sk = sketch_ops.sketch_genome_collect(h)
+                    h = handles.pop(name, None) or _dispatch(name)
+                    fresh_queue.remove(name)
+                    if overlap_ok and fresh_queue and fresh_queue[0] not in handles:
+                        handles[fresh_queue[0]] = _dispatch(fresh_queue[0])
+                    sk = _collect(h)
                     prepared.pop(name, None)  # free the device buffer
                     if cfg.write_artifacts:
                         # artifact-only (assemblies are built from `sk`

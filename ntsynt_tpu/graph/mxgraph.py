@@ -41,9 +41,9 @@ class MinimizerGraph:
     # nodes
     node_hash: np.ndarray  # uint64 [n] (insertion order)
     # edges as indices into node arrays, first-insertion order
-    eu: np.ndarray  # int64 [m]
-    ev: np.ndarray  # int64 [m]
-    weight: np.ndarray  # int64 [m]
+    eu: np.ndarray  # int32 [m]
+    ev: np.ndarray  # int32 [m]
+    weight: np.ndarray  # int32 [m]
     # caches
     _sorted_hash: np.ndarray | None = field(default=None, repr=False)
     _sorted_perm: np.ndarray | None = field(default=None, repr=False)
@@ -76,7 +76,7 @@ class MinimizerGraph:
 
     def degree(self) -> np.ndarray:
         if self._degree is None:
-            d = np.zeros(self.n_nodes, dtype=np.int64)
+            d = np.zeros(self.n_nodes, dtype=np.int32)
             np.add.at(d, self.eu, 1)
             np.add.at(d, self.ev, 1)
             self._degree = d
@@ -87,8 +87,8 @@ class MinimizerGraph:
     # ------------------------------------------------------------------
     @classmethod
     def empty(cls) -> "MinimizerGraph":
-        z64 = np.zeros(0, dtype=np.int64)
-        return cls(np.zeros(0, dtype=np.uint64), z64, z64.copy(), z64.copy())
+        z32 = np.zeros(0, dtype=np.int32)
+        return cls(np.zeros(0, dtype=np.uint64), z32, z32.copy(), z32.copy())
 
     @classmethod
     def build(
@@ -126,25 +126,36 @@ class MinimizerGraph:
         # ONE stable argsort yields unique hashes, first-appearance
         # ranks AND the node id of every occurrence position — replacing
         # np.unique + per-assembly searchsorted re-joins (at 6M nodes /
-        # 3 assemblies those were ~3x the cost of the sort itself)
+        # 3 assemblies those were ~3x the cost of the sort itself).
+        # Everything id-sized runs in int32 (occurrence counts < 2^31 in
+        # any real genome set): on the dev VM fresh pages fault at
+        # ~40 MB/s, so halving the working set nearly halves the cold
+        # wall (tests/test_scale.py).
         t = len(all_hashes)
+        assert t < (1 << 31), "graph occurrence count exceeds int32"
         if t:
-            order = np.argsort(all_hashes, kind="stable")
+            order = np.argsort(all_hashes, kind="stable").astype(np.int32, copy=False)
             sh = all_hashes[order]
             new_grp = np.empty(t, dtype=bool)
             new_grp[0] = True
             np.not_equal(sh[1:], sh[:-1], out=new_grp[1:])
             first_occ = order[new_grp]  # stable => min position per group
-            appear = np.argsort(first_occ, kind="stable")
+            appear = np.argsort(first_occ, kind="stable").astype(np.int32, copy=False)
             n_nodes = len(first_occ)
             node_hash = sh[new_grp][appear]
-            rank_of_group = np.empty(n_nodes, dtype=np.int64)
-            rank_of_group[appear] = np.arange(n_nodes)
-            ids = np.empty(t, dtype=np.int64)
-            ids[order] = rank_of_group[np.cumsum(new_grp) - 1]
+            del first_occ, sh
+            rank_of_group = np.empty(n_nodes, dtype=np.int32)
+            rank_of_group[appear] = np.arange(n_nodes, dtype=np.int32)
+            del appear
+            grp = np.cumsum(new_grp, dtype=np.int32)
+            del new_grp
+            grp -= 1
+            ids = np.empty(t, dtype=np.int32)
+            ids[order] = rank_of_group[grp]
+            del order, grp, rank_of_group
         else:
             node_hash = np.zeros(0, np.uint64)
-            ids = np.zeros(0, np.int64)
+            ids = np.zeros(0, np.int32)
 
         # node id of occurrence slices: list_cat entries follow the
         # (optional) seed prefix inside all_hashes/ids
@@ -186,43 +197,52 @@ class MinimizerGraph:
                 continue
             idx_all = ids[base : base + total]
             base += total
-            lid = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+            lid = np.repeat(np.arange(len(arrs), dtype=np.int32), lens)
             adj = lid[1:] == lid[:-1]  # pair (i, i+1) within one list
-            iu = idx_all[:-1][adj]
-            iv = idx_all[1:][adj]
-            keep = np.ones(len(iu), dtype=bool)
+            del lid
             if bl_sorted is not None:
                 blv = in_bl(np.concatenate(arrs))
-                keep = ~(blv[:-1][adj] & blv[1:][adj])
-            occ_u.append(iu[keep])
-            occ_v.append(iv[keep])
-            occ_w.append(np.full(int(keep.sum()), wt, dtype=np.int64))
+                adj &= ~(blv[:-1] & blv[1:])
+                del blv
+            occ_u.append(idx_all[:-1][adj])
+            occ_v.append(idx_all[1:][adj])
+            occ_w.append(np.full(len(occ_u[-1]), wt, dtype=np.int32))
+            del adj
 
         if not occ_u:
-            return cls(node_hash, *(np.zeros(0, np.int64) for _ in range(3)))
+            return cls(node_hash, *(np.zeros(0, np.int32) for _ in range(3)))
         u = np.concatenate(occ_u)
+        occ_u.clear()
         v = np.concatenate(occ_v)
+        occ_v.clear()
         wts = np.concatenate(occ_w)
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        key = lo * np.int64(len(node_hash)) + hi
+        occ_w.clear()
+        lo = np.minimum(u, v).astype(np.int64)
+        lo *= np.int64(len(node_hash))
+        key = lo
+        key += np.maximum(u, v)  # in place: key = lo * n + hi
+        del lo
         # dedupe + weight-sum via ONE stable argsort (np.unique with
         # return_index/inverse re-sorts and re-gathers several times)
-        korder = np.argsort(key, kind="stable")
+        korder = np.argsort(key, kind="stable").astype(np.int32, copy=False)
         ks = key[korder]
+        del key
         newk = np.empty(len(ks), dtype=bool)
         newk[0] = True
         np.not_equal(ks[1:], ks[:-1], out=newk[1:])
+        del ks
         kfirst = korder[newk]  # stable => first occurrence per edge
-        csum = np.cumsum(wts[korder])
+        csum = np.cumsum(wts[korder], dtype=np.int64)
+        del korder
         ends = np.flatnonzero(np.concatenate([newk[1:], [True]]))
-        wsum = np.diff(np.concatenate([[0], csum[ends]])).astype(np.int64)
-        worder = np.argsort(kfirst, kind="stable")  # first-seen edge order
+        wsum = np.diff(np.concatenate([[0], csum[ends]])).astype(np.int32)
+        del csum, ends, newk
+        worder = np.argsort(kfirst, kind="stable").astype(np.int32, copy=False)
         # endpoints in their first-seen orientation
         eu = u[kfirst][worder]
         ev = v[kfirst][worder]
         ew = wsum[worder]
-        return cls(node_hash, eu.astype(np.int64), ev.astype(np.int64), ew)
+        return cls(node_hash, eu, ev, ew)
 
     # ------------------------------------------------------------------
     # mutation (functional: return new graph)
@@ -244,7 +264,8 @@ class MinimizerGraph:
         doomed = np.zeros(self.n_nodes, dtype=bool)
         doomed[doomed_idx[doomed_idx >= 0]] = True
         keep_nodes = ~doomed
-        remap = np.cumsum(keep_nodes) - 1
+        remap = np.cumsum(keep_nodes, dtype=np.int32)
+        remap -= 1
         keep_edges = keep_nodes[self.eu] & keep_nodes[self.ev]
         return MinimizerGraph(
             self.node_hash[keep_nodes],
@@ -281,8 +302,8 @@ class MinimizerGraph:
         m = self.n_edges
         src = np.concatenate([self.eu, self.ev])
         other = np.concatenate([self.ev, self.eu])
-        eid = np.concatenate([np.arange(m), np.arange(m)])
-        order = np.argsort(src, kind="stable")
+        eid = np.concatenate([np.arange(m, dtype=np.int32)] * 2)
+        order = np.argsort(src, kind="stable").astype(np.int32, copy=False)
         src, other, eid = src[order], other[order], eid[order]
         indptr = np.zeros(self.n_nodes + 1, dtype=np.int64)
         np.add.at(indptr, src + 1, 1)
@@ -375,18 +396,22 @@ class MinimizerGraph:
         deg = self.degree()
         indptr, eids, other = self.incident_csr()
 
-        # directed edges: id e is eu->ev, id e+m is ev->eu
+        # directed edges: id e is eu->ev, id e+m is ev->eu.
+        # Everything id-sized is int32 (2m < 2^31): the doubling loop
+        # makes ~log2(2m) passes over these arrays, and on the dev VM
+        # fresh pages fault ~80x slower than they copy.
+        assert 2 * m < (1 << 31), "edge count exceeds int32 path extraction"
         du = np.concatenate([self.eu, self.ev])
         dv = np.concatenate([self.ev, self.eu])
         # neighbor table for nodes of degree <= 2 (vectorized from CSR)
-        nb1 = np.full(self.n_nodes, -1, dtype=np.int64)
-        nb2 = np.full(self.n_nodes, -1, dtype=np.int64)
+        nb1 = np.full(self.n_nodes, -1, dtype=np.int32)
+        nb2 = np.full(self.n_nodes, -1, dtype=np.int32)
         has1 = indptr[1:] - indptr[:-1] >= 1
         has2 = indptr[1:] - indptr[:-1] >= 2
         nb1[has1] = other[indptr[:-1][has1]]
         nb2[has2] = other[indptr[:-1][has2] + 1]
-        e1 = np.full(self.n_nodes, -1, dtype=np.int64)
-        e2 = np.full(self.n_nodes, -1, dtype=np.int64)
+        e1 = np.full(self.n_nodes, -1, dtype=np.int32)
+        e2 = np.full(self.n_nodes, -1, dtype=np.int32)
         e1[has1] = eids[indptr[:-1][has1]]
         e2[has2] = eids[indptr[:-1][has2] + 1]
 
@@ -398,13 +423,14 @@ class MinimizerGraph:
         fwd_is_uv = np.zeros(2 * m, dtype=bool)
         fwd_is_uv[cont] = self.eu[ue_next[cont]] == dv[cont]
         nxt = np.where(
-            cont, np.where(fwd_is_uv, ue_next, ue_next + m), np.int64(-1)
+            cont, np.where(fwd_is_uv, ue_next, ue_next + np.int32(m)), np.int32(-1)
         )
+        del w_next, ue_next, cont, fwd_is_uv
         poison = deg[dv] > 2  # chain runs into a branch node
 
         # pointer doubling: end edge + hop distance for every edge
-        end = np.where(nxt < 0, np.arange(2 * m, dtype=np.int64), np.int64(-1))
-        dist = (nxt >= 0).astype(np.int64)
+        end = np.where(nxt < 0, np.arange(2 * m, dtype=np.int32), np.int32(-1))
+        dist = (nxt >= 0).astype(np.int32)
         bad = poison.copy()
         ptr = nxt.copy()
         for _ in range(66):  # > log2(2m) always; leftovers are pure cycles
@@ -430,26 +456,27 @@ class MinimizerGraph:
         rev_end = np.where(end[starts] < m, end[starts] + m, end[starts] - m)
         keep = starts <= rev_end
         starts = starts[keep]
-        L_edges = dist[starts] + 1  # edges per chain
+        L_edges = dist[starts].astype(np.int64) + 1  # edges per chain
         n_nodes_out = L_edges + 1
         offsets = np.concatenate([[0], np.cumsum(n_nodes_out)[:-1]])
         total = int(n_nodes_out.sum())
 
         # map every edge to its (kept) traversal via its end edge
         kept_end = end[starts]
-        order = np.argsort(kept_end, kind="stable")
+        order = np.argsort(kept_end, kind="stable").astype(np.int32, copy=False)
         sorted_end = kept_end[order]
         loc = np.searchsorted(sorted_end, end)
         loc = np.minimum(loc, len(sorted_end) - 1)
         # cycle edges keep end == -1 and can never match a kept end
         on_kept = (~bad) & (sorted_end[loc] == end)
-        tr = np.full(2 * m, -1, dtype=np.int64)
+        tr = np.full(2 * m, -1, dtype=np.int32)
         tr[on_kept] = order[loc[on_kept]]
+        del loc, sorted_end, kept_end
 
         out = np.empty(total, dtype=np.int64)
         es = np.where(on_kept)[0]
         t_es = tr[es]
-        pos_in_chain = L_edges[t_es] - 1 - dist[es]
+        pos_in_chain = (L_edges[t_es] - 1) - dist[es]
         out[offsets[t_es] + pos_in_chain] = du[es]
         # last node of each chain = dest of its end edge
         out[offsets + L_edges] = dv[end[starts]]

@@ -299,21 +299,24 @@ def sketch_genome_dispatch(
 
 def sketch_genome_collect(handle) -> GenomeSketch:
     """Phase 2 of sketch_genome: block on the device result (if any) and
-    run the host-side epilogue (position mapping, short-contig fallback,
-    hash recompute)."""
+    run the host-side epilogue (position mapping, short-contig
+    fallback). The device engine returns the selected k-mers' printed
+    hashes from its compaction kernel's hash lanes, so the epilogue
+    inverts the nte64 mix (ops/nthash.unmix_np) instead of re-hashing
+    every selection (~1.5 s of host table-XOR per 100 Mbp genome);
+    host engines still recompute via _hash_at_positions."""
     genome, k, w = handle["genome"], handle["k"], handle["w"]
     common_bf, repeat_bf = handle["common_bf"], handle["repeat_bf"]
     codes, stream = handle["codes"], handle["stream"]
     if handle["sketcher"] is not None:
-        sel = handle["sketcher"].collect_stream(handle["pending"])
+        sel, selh = handle["sketcher"].collect_stream(handle["pending"])
     else:
-        sel = handle["sel"]
+        sel, selh = handle["sel"], None
 
     cidx, cpos = stream.to_contig_pos(sel)
 
-
     # short-contig fallback (one window over all k-mers), host-side
-    extra_ci, extra_pos = [], []
+    extra_ci, extra_pos, extra_h = [], [], []
     for i in stream.short_contigs():
         o, ln = int(genome.offsets[i]), int(genome.lengths[i])
         ccodes = (genome.codes if codes is None else codes)[o : o + ln]
@@ -324,15 +327,23 @@ def sketch_genome_collect(handle) -> GenomeSketch:
             valid = valid & ~_probe_np(repeat_bf, canon)
         if valid.any():
             keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            a = int(np.argmin(keys))
             extra_ci.append(i)
-            extra_pos.append(int(np.argmin(keys)))
+            extra_pos.append(a)
+            extra_h.append(out[a])
     if extra_ci:
         cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
         cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
         order = np.lexsort((cpos, cidx))
         cidx, cpos = cidx[order], cpos[order]
+        if selh is not None:
+            selh = np.concatenate([selh, np.asarray(extra_h, np.uint64)])[order]
 
-    canon, hashes = _hash_at_positions(genome, k, cidx, cpos, codes=codes)
+    if selh is not None:
+        hashes = selh
+        canon = nthash.unmix_np(hashes, k)
+    else:
+        canon, hashes = _hash_at_positions(genome, k, cidx, cpos, codes=codes)
     return GenomeSketch(
         name=genome.name,
         k=k,

@@ -46,12 +46,19 @@ CAP = 128  # selection capacity per tile of ROW_TILE block rows
 def _compact_kernel(w: int, wp: int):
     """Per grid cell: one tile of 8 block rows. The tile's flagged lanes
     (row-major order) compact into CAP slots via a tile-wide prefix sum
-    + accumulated one-hot MXU matmuls [CAP, wp] @ [wp, 2] producing
-    (position, window) pairs."""
+    + accumulated one-hot MXU matmuls [CAP, wp] @ [wp, 6] producing
+    (position, window, hash-half) tuples. The window min hash (= the
+    selected k-mer's printed ntHash, see ops/winmin) rides along as four
+    16-bit halves — f32 carries <= 2^16 exactly — so the host epilogue
+    never re-hashes selected k-mers (_hash_at_positions was ~1.5 s per
+    100 Mbp genome of pure host time)."""
 
-    def kernel(flag_ref, val_ref, vals_ref, wins_ref, cnt_ref):
+    def kernel(flag_ref, val_ref, hi_ref, lo_ref,
+               vals_ref, wins_ref, hh_ref, hl_ref, lh_ref, ll_ref, cnt_ref):
         f = flag_ref[:]  # [8, wp] int32 0/1 (garbage lanes pre-zeroed)
         val = val_ref[:]  # [8, wp] int32 argmin positions
+        mhi = hi_ref[:]  # [8, wp] uint32 window-min hash high half
+        mlo = lo_ref[:]  # [8, wp] uint32 window-min hash low half
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, wp), 1)
         # within-row inclusive prefix sum (log2(wp) lane rolls)
         ps = f
@@ -75,16 +82,29 @@ def _compact_kernel(w: int, wp: int):
         # tpu.iota is integer-only; cast afterwards
         cap_iota = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 0).astype(jnp.float32)
         lane_f = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 1).astype(jnp.float32)
-        out = jnp.zeros((CAP, 2), jnp.float32)
+        # 16-bit halves as exact f32 payloads (via int32: u32->f32 is
+        # not a single Mosaic cast)
+        hi_hi = ((mhi >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        hi_lo = (mhi & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        lo_hi = ((mlo >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        lo_lo = (mlo & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        out = jnp.zeros((CAP, 6), jnp.float32)
         for r in range(ROW_TILE):
             slot_r = jnp.broadcast_to(slot[r : r + 1].astype(jnp.float32), (CAP, wp))
             f_r = jnp.broadcast_to(f[r : r + 1].astype(jnp.float32), (CAP, wp))
             oh = jnp.where((slot_r == cap_iota) & (f_r > 0), 1.0, 0.0)
             row_base = (tile * ROW_TILE + r) * w
             x = jnp.stack(
-                [val[r].astype(jnp.float32), lane_f[0] + jnp.float32(row_base)],
+                [
+                    val[r].astype(jnp.float32),
+                    lane_f[0] + jnp.float32(row_base),
+                    hi_hi[r],
+                    hi_lo[r],
+                    lo_hi[r],
+                    lo_lo[r],
+                ],
                 axis=1,
-            )  # [wp, 2]
+            )  # [wp, 6]
             # HIGHEST precision: the MXU's default bf16 passes round
             # integer payloads > 2^8 (observed on hardware)
             out = out + jnp.dot(
@@ -95,6 +115,10 @@ def _compact_kernel(w: int, wp: int):
             )
         vals_ref[0, 0, :] = out[:, 0]
         wins_ref[0, 0, :] = out[:, 1]
+        hh_ref[0, 0, :] = out[:, 2]
+        hl_ref[0, 0, :] = out[:, 3]
+        lh_ref[0, 0, :] = out[:, 4]
+        ll_ref[0, 0, :] = out[:, 5]
         cnt_ref[0, 0, :] = jnp.broadcast_to(
             inc[ROW_TILE - 1 : ROW_TILE, :1].astype(jnp.float32), (1, 128)
         ).reshape(128)
@@ -110,37 +134,58 @@ def _compact_call(nb: int, w: int, wp: int, interpret: bool):
     out_spec = pl.BlockSpec((1, 1, CAP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     n_tiles = nb // ROW_TILE
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32),
-    ]
+        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32) for _ in range(6)
+    ] + [jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32)]
     return pl.pallas_call(
         _compact_kernel(w, wp),
         grid=(n_tiles,),
-        in_specs=[in_spec, in_spec],
-        out_specs=[out_spec, out_spec, out_spec],
+        in_specs=[in_spec] * 4,
+        out_specs=[out_spec] * 7,
         out_shape=out_shape,
         interpret=interpret,
     )
 
 
-def compact_rows(flag, val, w: int, interpret: bool = False):
+def compact_rows(flag, val, min_hi, min_lo, w: int, interpret: bool = False):
     """Tile-wise stream compaction of flagged argmin values.
 
     Args:
       flag: int32 [nb, wp], 1 where a selected run starts (garbage lanes
         must be 0).
       val: int32 [nb, wp] argmin positions.
-    Returns (vals f32 [T, CAP], wins f32 [T, CAP], counts f32 [T]) with
-    T = ceil(nb / 8) tiles of 8 block rows (8*w windows each).
+      min_hi/min_lo: uint32 [nb, wp] window-min hash halves (the
+        selected position's printed hash; garbage where flag == 0).
+    Returns (vals f32 [T, CAP], wins f32 [T, CAP], hash_hi u32 [T, CAP],
+    hash_lo u32 [T, CAP], counts f32 [T]) with T = ceil(nb / 8) tiles of
+    8 block rows (8*w windows each).
     """
     nb, wp = flag.shape
     pad = (-nb) % ROW_TILE
     if pad:
         flag = jnp.pad(flag, ((0, pad), (0, 0)))
         val = jnp.pad(val, ((0, pad), (0, 0)))
-    vals, wins, cnt = _compact_call(nb + pad, w, wp, interpret)(flag, val)
-    return vals[:, 0, :], wins[:, 0, :], cnt[:, 0, 0]
+        min_hi = jnp.pad(min_hi, ((0, pad), (0, 0)))
+        min_lo = jnp.pad(min_lo, ((0, pad), (0, 0)))
+    vals, wins, hh, hl, lh, ll, cnt = _compact_call(nb + pad, w, wp, interpret)(
+        flag, val, min_hi, min_lo
+    )
+    hash_hi = (hh[:, 0, :].astype(jnp.uint32) << 16) | hl[:, 0, :].astype(jnp.uint32)
+    hash_lo = (lh[:, 0, :].astype(jnp.uint32) << 16) | ll[:, 0, :].astype(jnp.uint32)
+    return vals[:, 0, :], wins[:, 0, :], hash_hi, hash_lo, cnt[:, 0, 0]
+
+
+def _dedupe_pos_hash(pos: np.ndarray, h: np.ndarray):
+    """Sort by position and drop duplicates, keeping hashes aligned
+    (duplicates carry identical hashes — the hash is a function of the
+    position)."""
+    if len(pos) == 0:
+        return pos.astype(np.int64), h.astype(np.uint64)
+    order = np.argsort(pos, kind="stable")
+    pos, h = pos[order], h[order]
+    new = np.empty(len(pos), dtype=bool)
+    new[0] = True
+    np.not_equal(pos[1:], pos[:-1], out=new[1:])
+    return pos[new], h[new]
 
 
 def _n_tiles(seg: int, w: int) -> int:
@@ -169,27 +214,39 @@ def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2, n_repeat_
     @jax.jit
     def run(codes_buf, n_segs, common_words, repeat_words):
         def body(i, acc):
-            vals_acc, wins_acc, cnt_acc = acc
-            vals, wins, cnt = seg_fn(codes_buf, i * seg, common_words, repeat_words)
+            vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc = acc
+            vals, wins, hhi, hlo, cnt = seg_fn(
+                codes_buf, i * seg, common_words, repeat_words
+            )
             # second-level compaction: scatter each tile's first
             # min(cnt, CAP) slots at its exclusive-prefix offset
             n_tile = jnp.minimum(cnt.astype(jnp.int32), CAP)  # [tiles]
             off = jnp.cumsum(n_tile) - n_tile  # exclusive [tiles]
             lane = jax.lax.broadcasted_iota(jnp.int32, (tiles, CAP), 1)
             ok = lane < n_tile[:, None]
-            idx = jnp.where(ok, off[:, None] + lane, SEG_SLOTS)  # OOB -> drop
-            sv = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx.reshape(-1)].set(
+            idx = jnp.where(ok, off[:, None] + lane, SEG_SLOTS).reshape(-1)  # OOB -> drop
+            sv = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
                 vals.astype(jnp.uint32).reshape(-1), mode="drop"
             )
-            sw = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx.reshape(-1)].set(
+            sw = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
                 wins.astype(jnp.uint32).reshape(-1), mode="drop"
+            )
+            shi = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
+                hhi.reshape(-1), mode="drop"
+            )
+            slo = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
+                hlo.reshape(-1), mode="drop"
             )
             vals_acc = jax.lax.dynamic_update_slice(vals_acc, sv[None], (i, 0))
             wins_acc = jax.lax.dynamic_update_slice(wins_acc, sw[None], (i, 0))
+            hi_acc = jax.lax.dynamic_update_slice(hi_acc, shi[None], (i, 0))
+            lo_acc = jax.lax.dynamic_update_slice(lo_acc, slo[None], (i, 0))
             cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, cnt[None], (i, 0))
-            return vals_acc, wins_acc, cnt_acc
+            return vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc
 
         init = (
+            jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
+            jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, tiles), jnp.float32),
@@ -256,7 +313,7 @@ def _segment_fn(k: int, w: int, seg: int, n_common_log2, n_repeat_log2, interpre
         # previous of lane 0 is the previous row's lane w-1
         prev = jnp.where(lane == 0, row_up[:, w - 1 : w], prev)
         flag = (live & (arg != prev)).astype(jnp.int32)
-        return compact_rows(flag, arg, w, interpret=interpret)
+        return compact_rows(flag, arg, min_hi, min_lo, w, interpret=interpret)
 
     return run
 
@@ -284,8 +341,9 @@ class DeviceSketcher:
         return n_segs * seg + w + k - 2
 
     def sketch_stream(self, stream_codes: np.ndarray, legit: np.ndarray,
-                      dev_buf=None) -> np.ndarray:
-        """Return sorted unique selected k-mer stream positions.
+                      dev_buf=None):
+        """Return (positions, hashes): sorted unique selected k-mer
+        stream positions and their printed ntHash values.
 
         Args:
           stream_codes: uint8 [L] code stream (contigs + separators).
@@ -339,15 +397,18 @@ class DeviceSketcher:
         out = fn(dbuf, jnp.int32(n_segs), cw, rw)
         return (out, starts, stream_codes, legit)
 
-    def collect_stream(self, pending) -> np.ndarray:
+    def collect_stream(self, pending):
         """Block on a dispatch_stream handle and map the compacted device
-        output back to sorted unique selected k-mer stream positions."""
+        output back to (positions, hashes): sorted unique selected k-mer
+        stream positions and their printed ntHash values (from the
+        kernel's hash lanes — the host never re-hashes selections)."""
         if pending is None:
-            return np.zeros(0, np.int64)
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
         out, starts, stream_codes, legit = pending
         nwin = len(legit)
-        all_vals, all_wins, all_cnt = jax.device_get(out)
+        all_vals, all_wins, all_hi, all_lo, all_cnt = jax.device_get(out)
         selected = []
+        hashes = []
         for si, ws in enumerate(starts):
             cnt = all_cnt[si].astype(np.int64)  # per-tile counts
             n_tile = np.minimum(cnt, CAP)
@@ -355,15 +416,19 @@ class DeviceSketcher:
             m = min(int(n_tile.sum()), SEG_SLOTS)
             v = all_vals[si][:m].astype(np.int64)
             j = all_wins[si][:m].astype(np.int64)
+            h = (all_hi[si][:m].astype(np.uint64) << np.uint64(32)) | all_lo[si][:m]
             keep = legit[np.minimum(j + ws, nwin - 1)] & (j + ws < nwin)
             selected.append(v[keep] + ws)
+            hashes.append(h[keep])
             # overflow: tile exceeded CAP slots, or its scatter range
             # crossed SEG_SLOTS (entries dropped) -> exact host recompute
             over = (cnt > CAP) | (off + n_tile > SEG_SLOTS)
             if over.any():
-                selected.append(
-                    self._overflow_tiles(stream_codes, legit, ws, np.where(over)[0])
+                op, oh = self._overflow_tiles(
+                    stream_codes, legit, ws, np.where(over)[0]
                 )
+                selected.append(op)
+                hashes.append(oh)
         # A selection run that starts in an ILLEGIT window (the partial
         # windows preceding a contig's first full window) and extends
         # into legit territory is only flagged at its illegit start, so
@@ -372,16 +437,18 @@ class DeviceSketcher:
         # those on the host (n_contigs * w k-mers, negligible).
         first_legit = np.where(legit & ~np.concatenate([[False], legit[:-1]]))[0]
         if len(first_legit):
-            selected.append(self._first_window_argmins(stream_codes, first_legit))
+            fp, fh = self._first_window_argmins(stream_codes, first_legit)
+            selected.append(fp)
+            hashes.append(fh)
         if not selected:
-            return np.zeros(0, np.int64)
-        return np.unique(np.concatenate(selected))
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        return _dedupe_pos_hash(np.concatenate(selected), np.concatenate(hashes))
 
-    def _first_window_argmins(self, stream_codes, window_starts) -> np.ndarray:
+    def _first_window_argmins(self, stream_codes, window_starts):
         from . import sketch as sketch_host
 
         k, w = self.k, self.w
-        out = []
+        out, outh_l = [], []
         for j0 in window_starts:
             codes = stream_codes[j0 : j0 + w + k - 1]
             canon, outh, valid = nthash.hash_sequence_np(codes, k)
@@ -395,9 +462,10 @@ class DeviceSketcher:
             a = int(np.argmin(keys))
             if valid[a]:
                 out.append(int(j0) + a)
-        return np.asarray(out, dtype=np.int64)
+                outh_l.append(outh[a])
+        return np.asarray(out, dtype=np.int64), np.asarray(outh_l, dtype=np.uint64)
 
-    def _overflow_tiles(self, stream_codes, legit, ws: int, tiles: np.ndarray) -> np.ndarray:
+    def _overflow_tiles(self, stream_codes, legit, ws: int, tiles: np.ndarray):
         """Host-exact recompute of compaction tiles (8 block rows = 8*w
         windows) whose selections overflowed CAP (dense repeats; rare)."""
         from . import sketch as sketch_host
@@ -405,7 +473,7 @@ class DeviceSketcher:
         k, w = self.k, self.w
         span = ROW_TILE * w
         nwin = len(legit)
-        out = []
+        out, out_h = [], []
         for r in tiles:
             j0 = ws + int(r) * span
             j1 = min(j0 + span, ws + self.seg, nwin)
@@ -428,4 +496,7 @@ class DeviceSketcher:
                 a = int(np.argmin(win))
                 if valid[j - lo + a]:
                     out.append(j + a)  # global stream position of the kmer
-        return np.asarray(sorted(set(out)), dtype=np.int64)
+                    out_h.append(outh[j - lo + a])
+        return _dedupe_pos_hash(
+            np.asarray(out, dtype=np.int64), np.asarray(out_h, dtype=np.uint64)
+        )

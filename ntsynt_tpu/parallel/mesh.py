@@ -203,7 +203,7 @@ def _sharded_stream_sketch_fn(mesh, k: int, w: int, seg: int, n_segs: int,
         slab = _unpack_row(packed2_row[0], isn_row[0])
 
         def body(i, acc):
-            vals_acc, wins_acc, cnt_acc = acc
+            vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc = acc
             codes = jax.lax.dynamic_slice(slab, (i * seg,), (nc,))
             h = nthash.hash_tile(codes, k)
             valid = h["valid"]
@@ -242,13 +242,25 @@ def _sharded_stream_sketch_fn(mesh, k: int, w: int, seg: int, n_segs: int,
             sw = jnp.zeros(seg_slots, jnp.uint32).at[idx].set(
                 (j.reshape(-1) + base).astype(jnp.uint32), mode="drop"
             )
+            # hash lanes: the window min IS the selected k-mer's printed
+            # hash — carried out so the host epilogue never re-hashes
+            shi = jnp.zeros(seg_slots, jnp.uint32).at[idx].set(
+                min_hi.reshape(-1), mode="drop"
+            )
+            slo = jnp.zeros(seg_slots, jnp.uint32).at[idx].set(
+                min_lo.reshape(-1), mode="drop"
+            )
             cnt = jnp.sum(flag).astype(jnp.int32)
             vals_acc = jax.lax.dynamic_update_slice(vals_acc, sv[None], (i, 0))
             wins_acc = jax.lax.dynamic_update_slice(wins_acc, sw[None], (i, 0))
+            hi_acc = jax.lax.dynamic_update_slice(hi_acc, shi[None], (i, 0))
+            lo_acc = jax.lax.dynamic_update_slice(lo_acc, slo[None], (i, 0))
             cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, cnt[None, None], (i, 0))
-            return vals_acc, wins_acc, cnt_acc
+            return vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc
 
         init = (
+            jnp.zeros((n_segs, seg_slots), jnp.uint32),
+            jnp.zeros((n_segs, seg_slots), jnp.uint32),
             jnp.zeros((n_segs, seg_slots), jnp.uint32),
             jnp.zeros((n_segs, seg_slots), jnp.uint32),
             jnp.zeros((n_segs, 1), jnp.int32),
@@ -259,7 +271,7 @@ def _sharded_stream_sketch_fn(mesh, k: int, w: int, seg: int, n_segs: int,
         local,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -283,8 +295,11 @@ def _host_windows_recompute(stream, legit, lo: int, hi: int, k: int, w: int,
     arg = sketch_ops._np_sliding_argmin(keys, w)[: hi - lo]
     ok = legit[lo:hi] & valid[arg]
     if not ok.any():
-        return np.zeros(0, np.int64)
-    return np.unique(arg[ok]).astype(np.int64) + lo
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    from ..ops.sketch_device import _dedupe_pos_hash
+
+    picks = arg[ok]
+    return _dedupe_pos_hash(picks.astype(np.int64) + lo, outh[picks])
 
 
 def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
@@ -303,8 +318,23 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
     genome (core/refine.condensed_genome) here when the pipeline runs
     with use_mesh, sharding the re-sketch too.
     """
+    return sharded_sketch_collect(
+        sharded_sketch_dispatch(
+            genome, k, w, mesh=mesh, seg_max=seg_max,
+            common_bf=common_bf, repeat_bf=repeat_bf, codes=codes,
+        )
+    )
+
+
+def sharded_sketch_dispatch(genome, k: int, w: int, mesh=None,
+                            seg_max: int = 1 << 20, common_bf=None,
+                            repeat_bf=None, codes: np.ndarray | None = None):
+    """Phase 1 of sharded_sketch_genome: pack + upload the slabs and
+    issue the (async) sharded dispatch. Returns a handle for
+    sharded_sketch_collect — the pipeline dispatches genome i+1 before
+    collecting genome i so i's host epilogue overlaps i+1's device
+    sweep (the same overlap the single-chip path runs)."""
     from ..ops import sketch as sketch_ops
-    from ..ops.sketch_device import DeviceSketcher
 
     mesh = mesh or make_mesh()
     d = int(mesh.devices.size)
@@ -312,7 +342,7 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
     legit = stream.legit_windows()
     nwin = len(legit)
 
-    sel = np.zeros(0, np.int64)
+    out = seg = n_segs = S = seg_slots = None
     if nwin > 0:
         # slab sizing: one segment per device when the stream is small,
         # pow2-bucketed segment counts when large (compile-cache reuse)
@@ -336,7 +366,31 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
         cw = _put_replicated(mesh, dummy) if common_bf is None else common_bf.words
         rw = _put_replicated(mesh, dummy) if repeat_bf is None else repeat_bf.words
         out = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), cw, rw)
-        vals, wins, cnts = (_get_full(a) for a in out)
+    return dict(
+        genome=genome, k=k, w=w, codes=codes, stream=stream, legit=legit,
+        common_bf=common_bf, repeat_bf=repeat_bf, out=out,
+        seg=seg, n_segs=n_segs, S=S, seg_slots=seg_slots,
+    )
+
+
+def sharded_sketch_collect(handle):
+    """Phase 2 of sharded_sketch_genome: block on the sharded result and
+    run the host epilogue (overflow/first-window fix-ups, short-contig
+    fallback, mix inversion)."""
+    from ..ops import sketch as sketch_ops
+    from ..ops.sketch_device import DeviceSketcher
+
+    genome, k, w = handle["genome"], handle["k"], handle["w"]
+    codes, stream, legit = handle["codes"], handle["stream"], handle["legit"]
+    common_bf, repeat_bf = handle["common_bf"], handle["repeat_bf"]
+    nwin = len(legit)
+
+    sel = np.zeros(0, np.int64)
+    if handle["out"] is not None:
+        seg, n_segs, S, seg_slots = (
+            handle["seg"], handle["n_segs"], handle["S"], handle["seg_slots"]
+        )
+        vals, wins, his, los, cnts = (_get_full(a) for a in handle["out"])
         cnts = cnts.reshape(-1)
 
         # vectorized gather of the compacted selections
@@ -346,16 +400,18 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
         base = (np.arange(g) // n_segs).astype(np.int64) * S
         jw = wins.astype(np.int64) + base[:, None]
         v = vals.astype(np.int64) + base[:, None]
+        h64 = (his.astype(np.uint64) << np.uint64(32)) | los
         ok = (lane < m[:, None]) & (jw < nwin)
         ok[ok] = legit[jw[ok]]
         parts = [v[ok]]
+        parts_h = [h64[ok]]
         for gi in np.where(cnts > seg_slots)[0]:  # overflow safety net
             lo = int(base[gi] + (gi % n_segs) * seg)
-            parts.append(
-                _host_windows_recompute(
-                    stream, legit, lo, lo + seg, k, w, common_bf, repeat_bf
-                )
+            op, oh = _host_windows_recompute(
+                stream, legit, lo, lo + seg, k, w, common_bf, repeat_bf
             )
+            parts.append(op)
+            parts_h.append(oh)
         # runs that start in an illegit window (partial windows before a
         # contig's first full window) are flagged only at their illegit
         # start: recompute each contig's first legit window on the host
@@ -363,13 +419,21 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
         ds = DeviceSketcher(k, w, common_bf=common_bf, repeat_bf=repeat_bf)
         first_legit = np.where(legit & ~np.concatenate([[False], legit[:-1]]))[0]
         if len(first_legit):
-            parts.append(ds._first_window_argmins(stream.codes_view(), first_legit))
-        sel = np.unique(np.concatenate(parts)) if parts else sel
+            fp, fh = ds._first_window_argmins(stream.codes_view(), first_legit)
+            parts.append(fp)
+            parts_h.append(fh)
+        from ..ops.sketch_device import _dedupe_pos_hash
+
+        sel, selh = _dedupe_pos_hash(
+            np.concatenate(parts), np.concatenate(parts_h)
+        )
+    else:
+        selh = np.zeros(0, np.uint64)
 
     # short-contig fallback + position mapping (host helpers shared with
     # the single-chip path)
     cidx, cpos = stream.to_contig_pos(sel)
-    extra_ci, extra_pos = [], []
+    extra_ci, extra_pos, extra_h = [], [], []
     src = genome.codes if codes is None else codes
     for i in stream.short_contigs():
         o, ln = int(genome.offsets[i]), int(genome.lengths[i])
@@ -381,14 +445,18 @@ def sharded_sketch_genome(genome, k: int, w: int, mesh=None,
             valid = valid & ~sketch_ops._probe_np(repeat_bf, canon)
         if valid.any():
             keys = np.where(valid, out, np.uint64(0xFFFFFFFFFFFFFFFF))
+            a = int(np.argmin(keys))
             extra_ci.append(i)
-            extra_pos.append(int(np.argmin(keys)))
+            extra_pos.append(a)
+            extra_h.append(out[a])
     if extra_ci:
         cidx = np.concatenate([cidx, np.asarray(extra_ci, np.int32)])
         cpos = np.concatenate([cpos, np.asarray(extra_pos, np.int64)])
+        selh = np.concatenate([selh, np.asarray(extra_h, np.uint64)])
         order = np.lexsort((cpos, cidx))
-        cidx, cpos = cidx[order], cpos[order]
-    canon, hashes = sketch_ops._hash_at_positions(genome, k, cidx, cpos, codes=codes)
+        cidx, cpos, selh = cidx[order], cpos[order], selh[order]
+    hashes = selh
+    canon = nthash.unmix_np(hashes, k)
     return sketch_ops.GenomeSketch(
         name=genome.name,
         k=k,
@@ -456,14 +524,16 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
 
     prev = _put_replicated(mesh, np.zeros(num_bits // 32, np.uint32))
     for gi, g in enumerate(ordered):
-        # genome k-mer stream: contigs + (k-1) N separators
-        parts, sep = [], np.full(k - 1, 4, dtype=np.uint8)
-        for i in range(g.n_contigs):
-            o, ln = int(g.offsets[i]), int(g.lengths[i])
-            parts.append(g.codes[o : o + ln])
-            parts.append(sep)
-        stream = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
-        n_kmers = max(len(stream) - k + 1, 0)
+        # genome k-mer stream via the LAZY _Stream slicer (w=1 gives
+        # k+1 >= k-1 separator codes between contigs, so separator
+        # k-mers hash invalid and the inserted k-mer set is exactly the
+        # genome's) — the previous np.concatenate of every contig cost
+        # a full-genome host copy per genome (~3 GB of fresh pages at
+        # mammal scale on a host that faults at ~40 MB/s)
+        from ..ops import sketch as sketch_ops
+
+        stream = sketch_ops._Stream(g, k, 1)
+        n_kmers = max(stream.total - k + 1, 0)
         if n_kmers == 0:
             if gi > 0:
                 prev = jnp.zeros_like(prev)  # empty genome: empty intersection
@@ -473,16 +543,130 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
         slab_kmers = n_segs * seg
         slab_len = -(-(slab_kmers + k - 1) // 8) * 8
 
-        def _slice(lo, hi):
-            return stream[lo:hi]
-
-        rows = _slab_rows(_slice, len(stream), d, slab_kmers, slab_len - slab_kmers,
-                          only_rows=_local_rows(mesh))
+        rows = _slab_rows(stream.slice, stream.total, d, slab_kmers,
+                          slab_len - slab_kmers, only_rows=_local_rows(mesh))
         packed2, isn = _pack_rows(rows)
         fn = _sharded_bf_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2,
                                   cascade=(gi > 0))
         prev = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), prev)
     return bloom.DeviceBloomFilter(num_bits, k, words=prev)
+
+
+def _allreduce_dup(once, twice, axis_name: str = AXIS):
+    """All-reduce of the (seen-once, seen-twice) bit-pair monoid:
+    (o1, t1) + (o2, t2) = (o1|o2, t1|t2|(o1&o2)). After the reduction
+    `twice` holds every bit set in >= 2 contributions — the cross-slab
+    duplicate evidence the repeat-BF build needs. ppermute butterfly
+    for power-of-two meshes (the monoid is associative + commutative),
+    all_gather fallback otherwise. Call inside shard_map."""
+    d = jax.lax.axis_size(axis_name)
+    if d == 1:
+        return once, twice
+    if d & (d - 1) == 0:
+        step = 1
+        while step < d:
+            perm = [(i, i ^ step) for i in range(d)]
+            o2 = jax.lax.ppermute(once, axis_name, perm)
+            t2 = jax.lax.ppermute(twice, axis_name, perm)
+            twice = twice | t2 | (once & o2)
+            once = once | o2
+            step <<= 1
+        return once, twice
+    o_all = jax.lax.all_gather(once, axis_name)  # [D, W]
+    t_all = jax.lax.all_gather(twice, axis_name)
+    o_acc = o_all[0]
+    t_acc = t_all[0]
+    for i in range(1, d):
+        t_acc = t_acc | t_all[i] | (o_acc & o_all[i])
+        o_acc = o_acc | o_all[i]
+    return o_acc, t_acc
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_repeat_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
+                             bits_log2: int):
+    """One genome's repeat-BF contribution, data-parallel over the mesh.
+
+    Per device: walk the slab's segments exactly like the single-chip
+    builder (ops/bf_build._repeat_stream_fn — within-segment duplicate
+    detection by sort, seen-filter probe for earlier occurrences), then
+    combine across devices: a k-mer duplicated ACROSS slabs is invisible
+    to any single device, so the (once, twice) monoid reduction over the
+    per-device seen-filters recovers it (bit b duplicated across slabs
+    iff b is set in >= 2 devices' seen words)."""
+
+    def local(packed2_row, isn_row, rep_words):
+        slab = _unpack_row(packed2_row[0], isn_row[0])
+        nc = seg + k - 1
+        n_words = (1 << bits_log2) // 32
+
+        def body(i, carry):
+            rep, seen = carry
+            tile = jax.lax.dynamic_slice(slab, (i * seg,), (nc,))
+            h = nthash.hash_tile(tile, k)
+            hi, lo, valid = h["canon_hi"], h["canon_lo"], h["valid"]
+            already = bloom.bf_probe(seen, hi, lo, bits_log2)
+            n = hi.shape[0]
+            idx = jnp.arange(n, dtype=jnp.int32)
+            s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
+            dup_prev = jnp.concatenate(
+                [
+                    jnp.zeros(1, dtype=bool),
+                    (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
+                ]
+            )
+            first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
+            rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
+            seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
+            return rep, seen
+
+        rep0 = jnp.zeros(n_words, jnp.uint32)
+        seen0 = jnp.zeros(n_words, jnp.uint32)
+        rep, seen = jax.lax.fori_loop(0, n_segs, body, (rep0, seen0))
+        _, twice = _allreduce_dup(seen, jnp.zeros_like(seen))
+        return rep_words | allreduce_or(rep) | twice
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_repeat_bf(genomes, k: int, fpr: float = 0.01, mesh=None,
+                          seg_max: int = 1 << 21, bf_bytes=None):
+    """Multi-chip repeat-k-mer Bloom filter (k-mers with multiplicity
+    >= 2 within any single genome, bin/ntsynt_make_repeat_bfs.py:56-67):
+    the mesh analog of ops.bf_build.build_repeat_bf. ONE dispatch per
+    genome; slab-local duplicates are found like the single-chip walk
+    and cross-slab duplicates through the (once, twice) seen-filter
+    reduction."""
+    from ..ops import bf_build, sketch as sketch_ops
+
+    mesh = mesh or make_mesh()
+    d = int(mesh.devices.size)
+    num_bits = bf_build.bf_size_bits(genomes, fpr, bf_bytes)
+    bits_log2 = num_bits.bit_length() - 1
+
+    rep = _put_replicated(mesh, np.zeros(num_bits // 32, np.uint32))
+    for g in genomes:
+        stream = sketch_ops._Stream(g, k, 1)
+        n_kmers = max(stream.total - k + 1, 0)
+        if n_kmers == 0:
+            continue
+        seg = min(seg_max, max(1024, _next_pow2(-(-n_kmers // d))))
+        n_segs = _next_pow2(-(-n_kmers // (d * seg)))
+        slab_kmers = n_segs * seg
+        slab_len = -(-(slab_kmers + k - 1) // 8) * 8
+        rows = _slab_rows(stream.slice, stream.total, d, slab_kmers,
+                          slab_len - slab_kmers, only_rows=_local_rows(mesh))
+        packed2, isn = _pack_rows(rows)
+        fn = _sharded_repeat_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2)
+        rep = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), rep)
+    return bloom.DeviceBloomFilter(num_bits, k, words=rep)
 
 
 # ---------------------------------------------------------------------------

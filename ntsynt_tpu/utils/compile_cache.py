@@ -21,7 +21,30 @@ _REPO_DIR = os.path.join(
 
 
 def default_cache_dir() -> str:
-    return _REPO_DIR if os.path.isdir(_REPO_DIR) else DEFAULT_DIR
+    """Working cache dir: /tmp, seeded from the checked-in .jax_cache.
+
+    Pointing JAX at the repo cache directly made every run write new
+    jit_* entries into the working tree (dirty checkout, stale-entry
+    commit risk). Instead the shipped entries are hardlinked/copied into
+    /tmp once and JAX writes there; refreshing the shipped cache stays a
+    deliberate step (cp -r /tmp/ntsynt_jax_cache/. .jax_cache — see
+    CLAUDE.md)."""
+    if os.path.isdir(_REPO_DIR):
+        try:
+            os.makedirs(DEFAULT_DIR, exist_ok=True)
+            for name in os.listdir(_REPO_DIR):
+                src = os.path.join(_REPO_DIR, name)
+                dst = os.path.join(DEFAULT_DIR, name)
+                if not os.path.exists(dst) and os.path.isfile(src):
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        import shutil
+
+                        shutil.copy2(src, dst)
+        except OSError:
+            return _REPO_DIR  # /tmp unusable; fall back to the repo cache
+    return DEFAULT_DIR
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:

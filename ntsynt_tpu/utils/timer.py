@@ -72,16 +72,29 @@ class _MemSampler:
 
 
 class StageTimer:
-    def __init__(self, sample_interval: float = 0.05, track_hbm: bool = True):
+    def __init__(self, sample_interval: float = 0.05, track_hbm: bool = True,
+                 sample_memory: bool = True):
+        """sample_memory=False disables the background RSS/HBM sampler
+        thread entirely (per-stage walls only): outside --benchmark runs
+        a 20 Hz jax.live_arrays() poll per stage is pure overhead and a
+        global-registry contention surface."""
         self.stages = OrderedDict()  # name -> wall seconds
         self.peak_rss = OrderedDict()  # name -> bytes (host RSS high-water)
         self.peak_hbm = OrderedDict()  # name -> bytes (live device buffers)
         self.sample_interval = sample_interval
         self.track_hbm = track_hbm
+        self.sample_memory = sample_memory
 
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
+        if not self.sample_memory:
+            try:
+                yield
+            finally:
+                dt = time.perf_counter() - t0
+                self.stages[name] = self.stages.get(name, 0.0) + dt
+            return
         with _MemSampler(self.sample_interval, self.track_hbm) as mem:
             try:
                 yield

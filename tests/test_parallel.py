@@ -171,3 +171,32 @@ def test_mesh_pipeline_blocks_identical(mesh8, tmp_path):
     b1 = [l.split("\t", 1)[1] for l in open(out1)]
     b2 = [l.split("\t", 1)[1] for l in open(out2)]
     assert b1 == b2
+
+
+def test_distributed_repeat_bf_matches_single(mesh8):
+    """Mesh repeat-BF must flag exactly the single-device builder's
+    repeat k-mers: slab-local duplicates via the per-slab walk,
+    cross-slab duplicates via the (once, twice) seen-filter reduction.
+    Segment sizes are matched (chunk == seg_max) so the two builds'
+    bit-collision false-positive patterns coincide too — a same-bit
+    different-hash pair is flagged iff it spans a segment boundary, an
+    order-observable artifact outside the output contract (see
+    ops/bf_build docstring)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bf_build import _genome
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 4, 12_000).astype(np.uint8)
+    # engineered repeats that span future slab boundaries: copy three
+    # 200 bp windows to far-apart offsets
+    for src, dst in [(1_000, 9_500), (3_100, 11_000), (5_200, 200)]:
+        a[dst : dst + 200] = a[src : src + 200]
+    genomes = [_genome(a, "r.fa")]
+    from ntsynt_tpu.ops import bf_build
+
+    single = bf_build.build_repeat_bf(genomes, 20, chunk=1 << 9)
+    dist = pmesh.distributed_repeat_bf(genomes, 20, mesh=mesh8, seg_max=1 << 9)
+    assert dist.num_bits == single.num_bits
+    assert (np.asarray(single.words) == np.asarray(dist.words)).all()

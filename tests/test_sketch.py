@@ -142,7 +142,10 @@ def test_device_engine_matches_chunk():
             from ntsynt_tpu.ops.sketch import _Stream
 
             st = _Stream(g, k, w)
-            sel = ds.sketch_stream(st.codes, st.legit_windows())
+            sel, selh = ds.sketch_stream(st.codes, st.legit_windows())
+            # hash lanes must carry the exact printed hash of each pick
+            canon, outh, _ = sketch.nthash.hash_sequence_np(st.codes, k)
+            assert (selh == outh[sel]).all(), w
             cidx, cpos = st.to_contig_pos(sel)
             for ci, contig in enumerate(contigs):
                 got = cpos[cidx == ci]
@@ -195,7 +198,9 @@ def test_device_engine_overflow_fallback():
         from ntsynt_tpu.ops.sketch import _Stream
 
         st = _Stream(g, k, w)
-        sel = ds.sketch_stream(st.codes, st.legit_windows())
+        sel, selh = ds.sketch_stream(st.codes, st.legit_windows())
+        canon, outh, _ = sketch.nthash.hash_sequence_np(st.codes, k)
+        assert (selh == outh[sel]).all()
         cidx, cpos = st.to_contig_pos(sel)
         want = sketch.sketch_contig_np(contig, k, w, common=nbf)
         assert (cpos == want).all()
