@@ -63,15 +63,25 @@ class MxInfo:
         match, so duplicates would make results batch-size-dependent.
         All construction paths dedupe first (read_minimizers semantics);
         this check keeps a future caller from silently violating that."""
+        return cls.from_arrays_with_order(hashes, ctg, pos)[0]
+
+    @classmethod
+    def from_arrays_with_order(cls, hashes, ctg, pos):
+        """from_arrays that also returns the argsort permutation, so
+        callers holding the pre-sort layout (AssemblyMinimizers.lists)
+        can reuse it (filter_common's sorted-view cache)."""
         sh = np.asarray(hashes, np.uint64)
         order = np.argsort(sh, kind="stable")
         sh = sh[order]
         if len(sh) > 1 and (sh[1:] == sh[:-1]).any():
             raise ValueError("MxInfo.from_arrays requires duplicate-free hashes")
-        return cls(
-            sh,
-            np.asarray(ctg, np.int32)[order],
-            np.asarray(pos, np.int64)[order],
+        return (
+            cls(
+                sh,
+                np.asarray(ctg, np.int32)[order],
+                np.asarray(pos, np.int64)[order],
+            ),
+            order,
         )
 
     def lookup(self, hashes):
@@ -138,6 +148,9 @@ class AssemblyMinimizers:
     lists: list  # list of uint64 arrays (one per contig, contig order)
     mx_info: MxInfo
     genome: object | None = None  # io.fasta.PackedGenome when available
+    # argsort permutation of concat(lists) (== the mx_info table order)
+    # from construction; filter_common reuses it while lists are intact
+    sort_order: np.ndarray | None = None
 
     @classmethod
     def from_sketch(cls, sk, genome=None, repeat_canon_filter=None) -> "AssemblyMinimizers":
@@ -154,12 +167,14 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(sk.contig_names))
+        mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=sk.name,
             contig_names=list(sk.contig_names),
             lists=lists,
-            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            mx_info=mx_info,
             genome=genome,
+            sort_order=order,
         )
 
     @classmethod
@@ -172,12 +187,14 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(contig_names))
+        mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=key,
             contig_names=list(contig_names),
             lists=lists,
-            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            mx_info=mx_info,
             genome=genome,
+            sort_order=order,
         )
 
     @classmethod
@@ -202,12 +219,14 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(names))
+        mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=key,
             contig_names=names,
             lists=lists,
-            mx_info=MxInfo.from_arrays(hashes, cidx, pos),
+            mx_info=mx_info,
             genome=genome,
+            sort_order=order,
         )
 
 
@@ -226,8 +245,15 @@ def filter_common(assemblies: dict) -> None:
     # each flat is duplicate-free (read_minimizers dedupe, enforced by
     # MxInfo.from_arrays), so ONE argsort per assembly gives the sorted
     # view for sequential membership probes; successive membership
-    # filters replace np.intersect1d (which re-sorts the concatenation)
-    orders = [np.argsort(f, kind="stable") for f in flats]
+    # filters replace np.intersect1d (which re-sorts the concatenation).
+    # When flat still matches the construction-time arrays, reuse the
+    # argsort MxInfo already paid for (a.sort_order).
+    orders = [
+        a.sort_order
+        if a.sort_order is not None and len(a.sort_order) == len(f)
+        else np.argsort(f, kind="stable")
+        for a, f in zip(assemblies.values(), flats)
+    ]
     sorteds = [f[o] for f, o in zip(flats, orders)]
     common = sorteds[0]
     for s in sorteds[1:]:
@@ -244,6 +270,8 @@ def filter_common(assemblies: dict) -> None:
         bounds = np.concatenate([[0], np.cumsum(lens)])
         kept_per_list = kept_cum[bounds[1:]] - kept_cum[bounds[:-1]]
         a.lists = np.split(flat[keep], np.cumsum(kept_per_list)[:-1])
+        if not keep.all():
+            a.sort_order = None  # lists changed; cached order is stale
 
 
 def filter_segments_common(segments_per_asm: dict) -> dict:

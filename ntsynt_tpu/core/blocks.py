@@ -250,14 +250,18 @@ def blocks_from_paths_batch(paths, lookup, rep_a: int, k: int, m_threshold: floa
     # -- orientation votes (synteny_block.py:48-65), segmented ---------
     live = internal.copy()
     live[np.arange(t - 1) < seg_start[pid[:-1]]] = False  # pre-trim diffs
-    d = np.sign(np.diff(pos, axis=1))  # [n_asm, t-1]
-    w_live = live.astype(np.int64)
-    n_d = np.bincount(pid[:-1], weights=w_live, minlength=n_paths).astype(np.int64)
+    # segmented counts via add.reduceat over int32 (bincount with float
+    # weights materialized three 8 B/pair float64 temps per assembly);
+    # cross-path pairs contribute 0 through the live mask
+    seg_idx = off[:-1]
+    n_d = np.add.reduceat(live.astype(np.int32), seg_idx).astype(np.int64)
     n_pos = np.empty((pos.shape[0], n_paths), dtype=np.int64)
     n_neg = np.empty_like(n_pos)
     for a in range(pos.shape[0]):  # per assembly (few), not per path
-        n_pos[a] = np.bincount(pid[:-1], weights=w_live * (d[a] > 0), minlength=n_paths)
-        n_neg[a] = np.bincount(pid[:-1], weights=w_live * (d[a] < 0), minlength=n_paths)
+        inc = (pos[a, 1:] > pos[a, :-1]) & live
+        dec = (pos[a, 1:] < pos[a, :-1]) & live
+        n_pos[a] = np.add.reduceat(inc.astype(np.int32), seg_idx)
+        n_neg[a] = np.add.reduceat(dec.astype(np.int32), seg_idx)
     all_inc = n_pos == n_d  # vacuously '+' when n_d == 0, like .all()
     all_dec = (n_neg == n_d) & (n_d > 0)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -270,17 +274,24 @@ def blocks_from_paths_batch(paths, lookup, rep_a: int, k: int, m_threshold: floa
     oriented = (ori_code != 2).all(axis=0)
 
     ori_chars = np.array(["+", "-", "?"])
+    # one fancy-index + tolist for ALL paths (a per-path
+    # ori_chars[...].tolist() costs ~5 us x 10^5 paths)
+    ori_lists = ori_chars[ori_code.T].tolist()
+    seg_start_l = seg_start.tolist()
+    end_l = off[1:].tolist()
+    ctg_starts = ctg[:, seg_start].astype(np.int32).T  # [n_paths, n_asm]
+    oriented_l = oriented.tolist()
     blocks, removed = [], []
     for p in range(n_paths):
-        s, e = int(seg_start[p]), int(off[p + 1])
+        s, e = seg_start_l[p], end_l[p]
         block = Block(
             mx=cat[s:e],
             pos=pos[:, s:e],
-            ctg=ctg[:, s].astype(np.int32),
+            ctg=ctg_starts[p],
             k=k,
-            ori=ori_chars[ori_code[:, p]].tolist(),
+            ori=ori_lists[p],
         )
-        if oriented[p]:
+        if oriented_l[p]:
             blocks.append(block)
         else:
             removed.append(block.mx)

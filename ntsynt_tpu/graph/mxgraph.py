@@ -428,24 +428,27 @@ class MinimizerGraph:
         del w_next, ue_next, cont, fwd_is_uv
         poison = deg[dv] > 2  # chain runs into a branch node
 
-        # pointer doubling: end edge + hop distance for every edge
+        # pointer doubling: end edge + hop distance for every edge.
+        # The unresolved set is carried as a compacted worklist — the
+        # first doublings leave most edges live, but every pass over
+        # full 2m arrays (mask + where) cost more than the gathers.
         end = np.where(nxt < 0, np.arange(2 * m, dtype=np.int32), np.int32(-1))
         dist = (nxt >= 0).astype(np.int32)
         bad = poison.copy()
         ptr = nxt.copy()
+        wl = np.where(ptr >= 0)[0].astype(np.int32)
         for _ in range(66):  # > log2(2m) always; leftovers are pure cycles
-            live = ptr >= 0
-            if not live.any():
+            if not len(wl):
                 break
-            p = ptr[live]
-            bad[live] |= bad[p]
-            dist_l = dist[live] + dist[p]
-            end_l = end[p]
-            dist[live] = dist_l
-            idx_live = np.where(live)[0]
-            resolved = end_l >= 0
-            end[idx_live[resolved]] = end_l[resolved]
-            ptr[idx_live] = np.where(resolved, -1, ptr[p])
+            p = ptr[wl]
+            bad[wl] |= bad[p]
+            dist[wl] += dist[p]
+            e_p = end[p]
+            ptr_p = ptr[p]  # read BEFORE any writes (p may alias wl)
+            resolved = e_p >= 0
+            end[wl[resolved]] = e_p[resolved]
+            ptr[wl] = np.where(resolved, np.int32(-1), ptr_p)
+            wl = wl[~resolved]
 
         # chain starts: directed edges whose source has degree 1
         starts = np.where((deg[du] == 1) & ~bad)[0]

@@ -75,8 +75,13 @@ def test_graph_blocks_6m_nodes_100k_paths():
     asms = _make_assemblies(hashes)
     det, paths, blocks, cold = _run_stage(asms)
     # filter_common is idempotent; re-running on the same assemblies
-    # re-does all the work on an already-faulted heap
-    _, _, _, warm = _run_stage(asms)
+    # re-does all the work on an already-faulted heap. Two warm reruns,
+    # min taken: single-run walls on this VM swing with hypervisor
+    # fault-throttle state (ADVICE r2: the old single-warm 30 s bound
+    # tripped under suite-order memory pressure).
+    _, _, _, warm1 = _run_stage(asms)
+    _, _, _, warm2 = _run_stage(asms)
+    warm = min(warm1, warm2)
 
     assert det.graph.n_nodes == P * L
     assert len(paths) == P
@@ -85,9 +90,11 @@ def test_graph_blocks_6m_nodes_100k_paths():
     assert b.n_minimizers == L
     # FILES order is reverse-sorted keys: [c.fa, b.fa, a.fa]
     assert b.ori == ["-", "+", "+"]
-    assert warm < 30.0, (
-        f"graph+blocks stage took {warm:.1f}s warm at 6M nodes (cold {cold:.1f}s)"
+    assert warm < 25.0, (
+        f"graph+blocks stage took {warm:.1f}s best-of-2-warm at 6M nodes "
+        f"(cold {cold:.1f}s) — ~2x the measured dev-VM steady state"
     )
     print(
-        f"graph+blocks 6M nodes / 100k paths: cold {cold:.2f}s warm {warm:.2f}s"
+        f"graph+blocks 6M nodes / 100k paths: cold {cold:.2f}s "
+        f"warm {warm1:.2f}/{warm2:.2f}s (min {warm:.2f}s)"
     )
