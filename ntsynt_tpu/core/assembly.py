@@ -151,6 +151,10 @@ class AssemblyMinimizers:
     # argsort permutation of concat(lists) (== the mx_info table order)
     # from construction; filter_common reuses it while lists are intact
     sort_order: np.ndarray | None = None
+    # per-contig positions aligned with `lists` (construction layout);
+    # refinement rounds read these instead of per-contig mx_info
+    # lookups (10^3-10^4 binary-search batches per round otherwise)
+    pos_lists: list | None = None
 
     @classmethod
     def from_sketch(cls, sk, genome=None, repeat_canon_filter=None) -> "AssemblyMinimizers":
@@ -167,6 +171,7 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(sk.contig_names))
+        pos_lists = _split_lists(pos, cidx, len(sk.contig_names))
         mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=sk.name,
@@ -175,6 +180,7 @@ class AssemblyMinimizers:
             mx_info=mx_info,
             genome=genome,
             sort_order=order,
+            pos_lists=pos_lists,
         )
 
     @classmethod
@@ -187,6 +193,7 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(contig_names))
+        pos_lists = _split_lists(pos, cidx, len(contig_names))
         mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=key,
@@ -195,6 +202,7 @@ class AssemblyMinimizers:
             mx_info=mx_info,
             genome=genome,
             sort_order=order,
+            pos_lists=pos_lists,
         )
 
     @classmethod
@@ -219,6 +227,7 @@ class AssemblyMinimizers:
         keep = _dedupe_mask(hashes)
         hashes, cidx, pos = hashes[keep], cidx[keep], pos[keep]
         lists = _split_lists(hashes, cidx, len(names))
+        pos_lists = _split_lists(pos, cidx, len(names))
         mx_info, order = MxInfo.from_arrays_with_order(hashes, cidx, pos)
         return cls(
             key=key,
@@ -227,6 +236,7 @@ class AssemblyMinimizers:
             mx_info=mx_info,
             genome=genome,
             sort_order=order,
+            pos_lists=pos_lists,
         )
 
 

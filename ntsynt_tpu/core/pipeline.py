@@ -98,6 +98,41 @@ class PipelineConfig:
         return os.path.join(self.out_dir, p)
 
 
+class _LazyGenomes:
+    """Dict-like name -> PackedGenome that reads each FASTA on first
+    access (timed as a read_fasta:<name> stage, .fai emitted alongside).
+    Gigabase reads cost ~20 s/Gbp of host wall on the dev VM; deferring
+    them lets the BF cascade's lazy entries hide genome i+1's read
+    under level i's async device dispatch."""
+
+    def __init__(self, runner, path_of: dict):
+        self._runner = runner
+        self._paths = dict(path_of)
+        self._loaded = {}
+
+    def __getitem__(self, name):
+        if name not in self._loaded:
+            runner, cfg = self._runner, self._runner.cfg
+            with runner.timer.stage(f"read_fasta:{name}"):
+                g = fio.read_fasta(self._paths[name], threads=cfg.threads)
+                if cfg.write_artifacts:
+                    fio.write_fai(g, os.path.join(cfg.out_dir, f"{g.name}.fai"))
+            self._loaded[name] = g
+        return self._loaded[name]
+
+    def __iter__(self):
+        return iter(self._paths)
+
+    def __len__(self):
+        return len(self._paths)
+
+    def values(self):
+        return [self[n] for n in self._paths]
+
+    def items(self):
+        return [(n, self[n]) for n in self._paths]
+
+
 class NtSyntTPU:
     """The full ntSynt-equivalent run."""
 
@@ -157,16 +192,16 @@ class NtSyntTPU:
         if not is_rank0:
             cfg = self.cfg = replace(cfg, write_artifacts=False, benchmark=False)
 
-        # --- load genomes (rule faidx) --------------------------------
-        genomes = {}
-        with self.timer.stage("read_fasta"):
-            for path in cfg.fastas:
-                g = fio.read_fasta(path, threads=cfg.threads)
-                genomes[g.name] = g
-                if cfg.write_artifacts:
-                    fio.write_fai(g, os.path.join(cfg.out_dir, f"{g.name}.fai"))
-        if len(genomes) < 2:
+        # --- load genomes (rule faidx), LAZILY -------------------------
+        # Reading a gigabase FASTA costs ~20 s of host wall on the dev
+        # VM (mmap + fresh-page faults); reads after the first happen
+        # inside the BF cascade's lazy entry callables, so genome i+1's
+        # read/pack overlaps level i's (async) device dispatch.
+        names = [os.path.basename(p) for p in cfg.fastas]
+        path_of = dict(zip(names, cfg.fastas))
+        if len(names) < 2:
             raise ValueError("Must supply at least two genomes to compare")
+        genomes = _LazyGenomes(self, path_of)
 
         # --- shared code-stream uploads --------------------------------
         # One host->device upload per genome, shared by the BF builders
@@ -206,19 +241,25 @@ class NtSyntTPU:
                     stub_fresh = self._artifact_fresh(bf_path, *cfg.fastas)
                     if stub_fresh:
                         log(f"Reusing {bf_path} (stub: deterministic on-device rebuild)")
-                    ordered = sorted(genomes.values(), key=lambda g: g.path)
-                    num_bits = bf_build.bf_size_bits(ordered, cfg.fpr, cfg.bf_bytes)
-                    # lazy entries: each genome's host stream build/pack
-                    # overlaps the previous level's async device dispatch
+                    ordered_names = sorted(names, key=lambda n: path_of[n])
+                    # sizing needs only the FIRST (path-sorted) genome
+                    # (src/ntsynt_make_common_bf.cpp:109-117) — later
+                    # genomes stay unread until their cascade level's
+                    # entry resolves, hiding their ~20 s/Gbp host read
+                    # under the previous level's device dispatch
+                    num_bits = bf_build.bf_size_bits(
+                        [genomes[ordered_names[0]]], cfg.fpr, cfg.bf_bytes
+                    )
                     if cfg.use_mesh:
                         from ..parallel import mesh as pmesh
 
                         common_bf = pmesh.distributed_common_bf(
-                            ordered, cfg.k, cfg.fpr, bf_bytes=cfg.bf_bytes
+                            [genomes[n] for n in ordered_names], cfg.k, cfg.fpr,
+                            bf_bytes=cfg.bf_bytes,
                         )
                     else:
                         entries = [
-                            (g.name, lambda n=g.name: _prepared(n)[2:4]) for g in ordered
+                            (n, lambda n=n: _prepared(n)[2:4]) for n in ordered_names
                         ]
                         # gigabase genomes: drop device code buffers as
                         # their cascade level is dispatched ONLY when the
@@ -228,11 +269,14 @@ class NtSyntTPU:
                         # Gbp over the tunnel), so keep buffers whenever
                         # the chip can hold them (2x1 Gbp + a capped
                         # 4 GiB filter fits a 16 GB chip with room).
+                        # File size stands in for base count (~1.01x)
+                        # so unread genomes stay unread.
+                        fsize = {n: os.path.getsize(path_of[n]) for n in names}
                         resident = 2 * (num_bits // 8) + sum(
-                            int(g.total_bases * 1.15) for g in ordered
+                            int(fsize[n] * 1.12) for n in ordered_names
                         )
                         big = (
-                            {g.name for g in ordered if g.total_bases > 500_000_000}
+                            {n for n in ordered_names if fsize[n] > 505_000_000}
                             if resident > 13_000_000_000
                             else set()
                         )
@@ -283,16 +327,16 @@ class NtSyntTPU:
         # i+1's device time. Overlap is gated to sub-gigabase genomes so
         # at most two code streams + sweep outputs are resident in HBM.
         plan = []
-        for name, g in genomes.items():
+        for name in names:
             tsv_path = os.path.join(cfg.out_dir, f"{name}.k{cfg.k}.w{cfg.w}.tsv")
             bf_inputs = [f"{prefix}.common.bf"] if cfg.common and cfg.write_artifacts else []
             rep_filter = None
             if cfg.repeat_filter == "Filter" and repeat_bf is not None:
                 rep_filter = lambda canon, bf=repeat_bf: sketch_ops._probe_np(bf, canon)
             fresh = rep_filter is not None or not self._artifact_fresh(
-                tsv_path, g.path, *bf_inputs
+                tsv_path, path_of[name], *bf_inputs
             )
-            plan.append((name, g, tsv_path, rep_filter, fresh))
+            plan.append((name, tsv_path, rep_filter, fresh))
 
         # dispatch/collect overlap needs two code streams + one filter
         # resident: gate on the projected HBM footprint, not a fixed
@@ -302,9 +346,12 @@ class NtSyntTPU:
         bf_words_bytes = 0 if common_bf is None else common_bf.num_bits // 8
         if sketch_repeat is not None:
             bf_words_bytes += sketch_repeat.num_bits // 8
-        top2 = sorted((int(g.total_bases * 1.15) for _, g, *_ in plan), reverse=True)[:2]
+        top2 = sorted(
+            (int(os.path.getsize(path_of[name]) * 1.12) for name, *_ in plan),
+            reverse=True,
+        )[:2]
         overlap_ok = bf_words_bytes + sum(top2) + (1 << 30) <= 14_000_000_000
-        fresh_queue = [p[0] for p in plan if p[4]]
+        fresh_queue = [p[0] for p in plan if p[3]]
 
         def _dispatch(name):
             if cfg.use_mesh:
@@ -329,13 +376,13 @@ class NtSyntTPU:
             return sketch_ops.sketch_genome_collect(handle)
 
         handles = {}
-        for name, g, tsv_path, rep_filter, fresh in plan:
+        for name, tsv_path, rep_filter, fresh in plan:
             if not fresh:
                 # snakemake-style resume: reuse the sketch artifact
                 log(f"Reusing {tsv_path}")
                 records = sketch_tsv.read_sketch_tsv(tsv_path)
                 assemblies[name] = AssemblyMinimizers.from_tsv_records(
-                    name, records, genome=g
+                    name, records, genome=genomes[name]
                 )
             else:
                 with self.timer.stage(f"sketch:{name}"):
@@ -349,7 +396,7 @@ class NtSyntTPU:
                         # artifact-only (assemblies are built from `sk`
                         # directly): the per-minimizer kmer_string loop +
                         # file write run on a background thread
-                        def _write_tsv(sk=sk, g=g, tsv_path=tsv_path):
+                        def _write_tsv(sk=sk, g=genomes[name], tsv_path=tsv_path):
                             recs = []
                             for ci, cname in enumerate(sk.contig_names):
                                 mask = sk.contig_idx == ci
@@ -363,7 +410,7 @@ class NtSyntTPU:
                         t.start()
                         artifact_threads.append(t)
                 assemblies[name] = AssemblyMinimizers.from_sketch(
-                    sk, genome=g, repeat_canon_filter=rep_filter
+                    sk, genome=genomes[name], repeat_canon_filter=rep_filter
                 )
             log(f"{name}: {len(assemblies[name].mx_info.sorted_hash)} minimizers kept")
 

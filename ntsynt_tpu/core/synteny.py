@@ -324,8 +324,11 @@ class SyntenyDetector:
                 h = tmp.lists[ci]
                 if len(h) == 0:
                     continue
-                _, pos_arr = tmp.mx_info.lookup(h)
-                per_ctg.append((h, pos_arr))
+                # positions come straight from the construction layout
+                # (pos_lists is split alongside lists) — the previous
+                # per-contig mx_info.lookup was 10^3+ binary-search
+                # batches per assembly per round on real assemblies
+                per_ctg.append((h, tmp.pos_lists[ci]))
                 ctg_of_list.append(ci)
             asm_intervals = {
                 c: iv for (ai, c), iv in intervals.items() if ai == a

@@ -29,7 +29,11 @@ import numpy as np
 from . import bf_sweep, bloom, nthash
 from ..utils import log
 
-DEFAULT_CHUNK = 1 << 22
+# measured on the v5e (scratch insert, 2^34-bit filter): 2^21-k-mer
+# segments run 73 M elem/s, 2^22 93 M/s (the full-filter dense OR
+# amortizes over more keys); 2^23 keeps the u32 key sort in its fast
+# regime (654 M elem/s) while halving the dense-OR count again
+DEFAULT_CHUNK = 1 << 23
 
 
 def _sweep_mode(bits_log2: int):

@@ -38,14 +38,20 @@ def reference_bf_bits(genome_size: int, fpr: float) -> int:
     return int(math.ceil(-genome_size / math.log(1.0 - fpr)))
 
 
-def pow2_bits(requested_bits: int, max_log2: int = 35) -> int:
+def pow2_bits(requested_bits: int, max_log2: int = 34) -> int:
     """Round a bit count to the nearest power of two in [2^16, 2^max].
 
-    The default cap (2^35 bits = 4 GiB of words) keeps the cascade's
-    peak footprint (prev level + new level + code stream) inside a
-    single chip's 16 GB HBM at 3 Gbp genome scale; capping raises the
-    effective FPR, which the reference documents as its own memory/FPR
-    trade (README.md:176 — higher --fpr lowers peak RAM)."""
+    The default cap (2^34 bits = 2 GiB of words) keeps every insert on
+    the scratch formulation (measured 28.7 ms vs 58.4 ms per 2^21-k-mer
+    segment for the in-place path a 2^35 filter forces — the in-place
+    gather-merge pays a serialized per-element gather) AND keeps the
+    cascade's peak footprint (prev + new + zeros scratch + code
+    streams) inside a single chip's 16 GB HBM at 3 Gbp genome scale.
+    Capping raises the effective FPR (~5.7% at 1 Gbp, ~16% at 3 Gbp
+    vs the requested 2.5%), which the reference documents as its own
+    memory/FPR trade (README.md:176 — higher --fpr lowers peak RAM);
+    the block-level effect is measured (PARITY.md #1). Callers can
+    override with bf_bytes / max_log2 up to 2^36."""
     requested_bits = max(requested_bits, 1 << 16)
     lg = math.log2(requested_bits)
     b = int(round(lg))

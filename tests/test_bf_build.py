@@ -165,6 +165,8 @@ def test_insert_words_scratchless_path_bit_equal():
 def test_pow2_bits_hbm_cap():
     from ntsynt_tpu.ops import bloom
 
-    assert bloom.pow2_bits(int(1.19e11)) == 1 << 35  # 3 Gbp @ fpr .025
+    # default cap is 2^34 (scratch-insert regime, see bloom.pow2_bits)
+    assert bloom.pow2_bits(int(1.19e11)) == 1 << 34  # 3 Gbp @ fpr .025
+    assert bloom.pow2_bits(int(1.19e11), max_log2=35) == 1 << 35
     assert bloom.pow2_bits(int(3.95e9)) == 1 << 32
     assert bloom.pow2_bits(10) == 1 << 16
