@@ -275,9 +275,13 @@ class NtSyntTPU:
                         resident = 2 * (num_bits // 8) + sum(
                             int(fsize[n] * 1.12) for n in ordered_names
                         )
+                        # 10.5 GB threshold: leaves ~5 GB for XLA sort
+                        # temporaries + fragmentation on a 16 GB chip
+                        # (a 2^35-bit override run OOMed at a projected
+                        # 10.9 GB with streams kept)
                         big = (
                             {n for n in ordered_names if fsize[n] > 505_000_000}
-                            if resident > 13_000_000_000
+                            if resident > 10_500_000_000
                             else set()
                         )
                         common_bf = bf_build.build_common_bf_from_device(

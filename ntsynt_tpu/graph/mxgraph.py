@@ -32,8 +32,40 @@ stage at 6M nodes / 100k paths.
 """
 
 from dataclasses import dataclass, field
+import functools
+import os
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _walk_lib():
+    """ctypes handle to csrc/libgraphwalk.so (None -> NumPy fallback).
+
+    The sequential chain walk visits each directed edge once (~60 ns a
+    step); the vectorized pointer-doubling fallback costs O(2m log L)
+    NumPy passes — ~8x slower when the graph is a few gigabase-scale
+    chains. NTSYNT_NO_NATIVE_WALK=1 forces the fallback (tests compare
+    both)."""
+    if os.environ.get("NTSYNT_NO_NATIVE_WALK"):
+        return None
+    import ctypes
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(here, "csrc", "libgraphwalk.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.graphwalk_chains.restype = ctypes.c_int64
+    lib.graphwalk_chains.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    return lib
 
 
 @dataclass
@@ -427,6 +459,30 @@ class MinimizerGraph:
         )
         del w_next, ue_next, cont, fwd_is_uv
         poison = deg[dv] > 2  # chain runs into a branch node
+
+        lib = _walk_lib()
+        if lib is not None:
+            starts_all = np.where(deg[du] == 1)[0].astype(np.int32)
+            out_cap = 2 * m + len(starts_all) + 1
+            out_nodes = np.empty(out_cap, np.int32)
+            out_offsets = np.empty(len(starts_all) + 1, np.int64)
+            nxt_c = np.ascontiguousarray(nxt, np.int32)
+            du_c = np.ascontiguousarray(du, np.int32)
+            dv_c = np.ascontiguousarray(dv, np.int32)
+            poison_c = np.ascontiguousarray(poison, np.uint8)
+            n_chains = lib.graphwalk_chains(
+                nxt_c.ctypes.data, du_c.ctypes.data, dv_c.ctypes.data,
+                poison_c.ctypes.data, starts_all.ctypes.data,
+                len(starts_all), 2 * m,
+                out_nodes.ctypes.data, out_offsets.ctypes.data, out_cap,
+            )
+            if n_chains >= 0:
+                return [
+                    self.node_hash[out_nodes[out_offsets[i] : out_offsets[i + 1]]]
+                    for i in range(n_chains)
+                ]
+            # corrupt/overflow (cannot happen for well-formed graphs):
+            # fall through to the NumPy formulation
 
         # pointer doubling: end edge + hop distance for every edge.
         # The unresolved set is carried as a compacted worklist — the

@@ -166,9 +166,14 @@ def device_fpr(bf) -> float:
 
 def bf_size_bits(genomes, fpr: float, bf_bytes: int | None = None) -> int:
     """Reference sizing: from the first (sorted) genome's length
-    (src/ntsynt_make_common_bf.cpp:109-117), rounded to pow2."""
+    (src/ntsynt_make_common_bf.cpp:109-117), rounded to pow2.
+
+    An EXPLICIT bf_bytes escapes the 2^34 auto-cap (up to the 2^36
+    addressing ceiling): the cap is a speed default, and callers sizing
+    by hand — quality studies, machines with more HBM — get what they
+    ask for."""
     if bf_bytes is not None:
-        return bloom.pow2_bits(bf_bytes * 8)
+        return bloom.pow2_bits(bf_bytes * 8, max_log2=36)
     first = sorted(genomes, key=lambda g: g.path)[0]
     requested = bloom.reference_bf_bits(first.total_bases, fpr)
     bits = bloom.pow2_bits(requested)

@@ -116,3 +116,43 @@ def test_black_list_suppresses_terminal_bridge():
         pass
     # seeded edges kept with weights
     assert g.edge_id(1, 2) >= 0
+
+
+def test_native_walker_matches_numpy():
+    """csrc/libgraphwalk.so must extract exactly the NumPy doubling
+    formulation's chains (same order, same directions) across chain
+    shapes: long chains, 2-node chains, branch-poisoned chains,
+    cycles, isolated nodes."""
+    import os
+
+    from ntsynt_tpu.graph import mxgraph
+
+    if mxgraph._walk_lib() is None:
+        import pytest
+
+        pytest.skip("native walker not built")
+
+    rng = np.random.default_rng(5)
+    # assorted adjacency lists: one long chain, several short ones, a
+    # triple junction (weight-3 edges kept, so a branch survives the
+    # filter when -n is lowered), and a pure cycle
+    lists = [
+        rng.permutation(np.arange(1, 2001, dtype=np.uint64)),  # 2000-chain
+        np.array([9001, 9002], np.uint64),
+        np.array([9003, 9004, 9005], np.uint64),
+        np.array([7001, 7002, 7003, 7001], np.uint64),  # cycle
+        np.array([8001, 8002, 8003], np.uint64),
+        np.array([8004, 8002, 8005], np.uint64),  # 8002 becomes deg-4
+    ]
+    g = MinimizerGraph.build([("a", lists)], {"a": 1})
+    native = g.linear_paths()
+    os.environ["NTSYNT_NO_NATIVE_WALK"] = "1"
+    mxgraph._walk_lib.cache_clear()
+    try:
+        ref = g.linear_paths()
+    finally:
+        del os.environ["NTSYNT_NO_NATIVE_WALK"]
+        mxgraph._walk_lib.cache_clear()
+    assert len(native) == len(ref)
+    for a, b in zip(native, ref):
+        assert (a == b).all()
