@@ -519,7 +519,7 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
     mesh = mesh or make_mesh()
     d = int(mesh.devices.size)
     ordered = sorted(genomes, key=lambda g: g.path)
-    num_bits = bf_size = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
+    num_bits = bf_build.bf_size_bits(ordered, fpr, bf_bytes)
     bits_log2 = num_bits.bit_length() - 1
 
     prev = _put_replicated(mesh, np.zeros(num_bits // 32, np.uint32))

@@ -394,3 +394,22 @@ def test_capped_bf_block_quality(tmp_path):
     # same block structure: per-assembly (ctg, start, end, ori) agree
     sig = lambda rows: [(r["asm"], r["ctg"], r["start"], r["end"], r["ori"]) for r in rows]
     assert sig(cap_rows) == sig(ref_rows)
+
+
+def test_no_common_bf_path(tmp_path, base_genome):
+    """--no-common (hidden flag): the pipeline must run without a
+    common filter — with lazy genome reads this exercises the path
+    where the first read happens at sketch dispatch, not BF sizing."""
+    mut = np.array(base_genome).copy()
+    rng = np.random.default_rng(4)
+    snp = rng.random(len(mut)) < 0.002
+    mut[snp] = (mut[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    fa = write_fasta(tmp_path / "nc1.fa", [("chr1", base_genome)])
+    fb = write_fasta(tmp_path / "nc2.fa", [("chr1", mut)])
+    from dataclasses import replace
+
+    cfg = replace(_cfg([str(fa), str(fb)], tmp_path, prefix="nc"), common=False)
+    out = NtSyntTPU(cfg).run()
+    rows = open(out).read().splitlines()
+    assert len(rows) >= 2 and all(len(r.split("\t")) == 8 for r in rows)
+    assert not os.path.exists(tmp_path / "nc.common.bf")
