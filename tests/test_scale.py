@@ -77,7 +77,7 @@ def test_graph_blocks_6m_nodes_100k_paths():
     # filter_common is idempotent; re-running on the same assemblies
     # re-does all the work on an already-faulted heap. Two warm reruns,
     # min taken: single-run walls on this VM swing with hypervisor
-    # fault-throttle state (ADVICE r2: the old single-warm 30 s bound
+    # fault-throttle state (ADVICE r2: an absolute single-warm bound
     # tripped under suite-order memory pressure).
     _, _, _, warm1 = _run_stage(asms)
     _, _, _, warm2 = _run_stage(asms)
@@ -90,11 +90,29 @@ def test_graph_blocks_6m_nodes_100k_paths():
     assert b.n_minimizers == L
     # FILES order is reverse-sorted keys: [c.fa, b.fa, a.fa]
     assert b.ori == ["-", "+", "+"]
-    assert warm < 25.0, (
+
+    # environment-calibrated bound: time the dominant primitive mix
+    # (one 18M-u64 stable argsort + permute-gather + cumsum) NOW, on
+    # this machine, in its current throttle state; the stage is a fixed
+    # number of such passes, so warm/cal is machine-independent
+    # (measured ~5-7x on the dev VM quiet AND under load; the old
+    # absolute bound conflated algorithmic cost with hypervisor state).
+    cal_arr = np.random.default_rng(1).integers(
+        0, 1 << 62, P * L * 3, dtype=np.int64
+    ).astype(np.uint64)
+    t0 = time.perf_counter()
+    order = np.argsort(cal_arr, kind="stable")
+    srt = cal_arr[order]
+    np.cumsum(srt)
+    cal = time.perf_counter() - t0
+    del cal_arr, order, srt
+    bound = max(15.0, 12.0 * cal)
+    assert warm < bound, (
         f"graph+blocks stage took {warm:.1f}s best-of-2-warm at 6M nodes "
-        f"(cold {cold:.1f}s) — ~2x the measured dev-VM steady state"
+        f"(cold {cold:.1f}s; calibration {cal:.2f}s -> bound {bound:.1f}s)"
     )
     print(
         f"graph+blocks 6M nodes / 100k paths: cold {cold:.2f}s "
-        f"warm {warm1:.2f}/{warm2:.2f}s (min {warm:.2f}s)"
+        f"warm {warm1:.2f}/{warm2:.2f}s (min {warm:.2f}s, "
+        f"cal {cal:.2f}s, bound {bound:.1f}s)"
     )
