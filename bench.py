@@ -143,9 +143,12 @@ def main():
         # 2-3x with external tenant load; min recovers capability)
         warm_wall, out = run_once(force=False)
         runs = []
+        best_timer = {}
         for _ in range(max(args.runs, 1)):
             wall, out = run_once(force=True)
             runs.append(round(wall, 2))
+            if wall <= min(runs):
+                best_timer = dict(last_timer)  # stages of the best run
         e2e_wall = min(runs)
 
         # cache guard: a healthy warmup is bounded by the steady-state
@@ -163,7 +166,7 @@ def main():
         # the best measured run — a standalone re-sketch would re-pack
         # and re-upload the stream and time the tunnel, not the chip
         first = os.path.basename(fastas[0])
-        sketch_wall = last_timer.get(f"sketch:{first}", float("nan"))
+        sketch_wall = best_timer.get(f"sketch:{first}", float("nan"))
         sketch_gbps = L / sketch_wall / 1e9
 
         total_gbp = args.genomes * L / 1e9

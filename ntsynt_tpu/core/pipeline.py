@@ -199,6 +199,11 @@ class NtSyntTPU:
         # read/pack overlaps level i's (async) device dispatch.
         names = [os.path.basename(p) for p in cfg.fastas]
         path_of = dict(zip(names, cfg.fastas))
+        if len(set(names)) != len(names):
+            raise ValueError(
+                "duplicate genome file basenames (the basename is the "
+                f"assembly key, like the reference): {sorted(names)}"
+            )
         if len(names) < 2:
             raise ValueError("Must supply at least two genomes to compare")
         genomes = _LazyGenomes(self, path_of)

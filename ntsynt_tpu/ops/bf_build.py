@@ -117,6 +117,31 @@ def _cascade_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
     return run
 
 
+def repeat_segment_update(rep, seen, hi, lo, valid, bits_log2: int):
+    """One segment of the repeat-BF walk (traceable, shared by the
+    single-chip _repeat_stream_fn and the mesh
+    parallel/mesh._sharded_repeat_level_fn so the bit-exactness-critical
+    duplicate-detection semantics live in exactly one place): a k-mer
+    goes into ``rep`` iff the seen filter already holds it (earlier
+    segment, or a bit collision — the documented FP-pattern deviation,
+    PARITY #3) or it is not the first occurrence of its exact hash
+    within this segment."""
+    already = bloom.bf_probe(seen, hi, lo, bits_log2)
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
+    dup_prev = jnp.concatenate(
+        [
+            jnp.zeros(1, dtype=bool),
+            (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
+        ]
+    )
+    first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
+    rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
+    seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
+    return rep, seen
+
+
 @functools.lru_cache(maxsize=None)
 def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
     @functools.partial(jax.jit, donate_argnums=(2, 3))
@@ -124,21 +149,7 @@ def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
         def body(i, carry):
             rep, seen = carry
             hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
-            already = bloom.bf_probe(seen, hi, lo, bits_log2)
-            # first occurrence of each distinct hash within the segment
-            n = hi.shape[0]
-            idx = jnp.arange(n, dtype=jnp.int32)
-            s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
-            dup_prev = jnp.concatenate(
-                [
-                    jnp.zeros(1, dtype=bool),
-                    (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
-                ]
-            )
-            first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
-            rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
-            seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
-            return rep, seen
+            return repeat_segment_update(rep, seen, hi, lo, valid, bits_log2)
 
         return jax.lax.fori_loop(0, n_segs, body, (rep_words, seen_words))
 

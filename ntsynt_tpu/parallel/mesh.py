@@ -286,7 +286,7 @@ def _host_windows_recompute(stream, legit, lo: int, hi: int, k: int, w: int,
     nwin = len(legit)
     hi = min(hi, nwin)
     if hi <= lo:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     codes = stream.slice(lo, hi - 1 + w + k - 1)
     canon, outh, valid = nthash.hash_sequence_np(codes, k)
     if (common_bf is not None or repeat_bf is not None) and valid.any():
@@ -552,14 +552,18 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
     return bloom.DeviceBloomFilter(num_bits, k, words=prev)
 
 
-def _allreduce_dup(once, twice, axis_name: str = AXIS):
-    """All-reduce of the (seen-once, seen-twice) bit-pair monoid:
+def _allreduce_dup(once, axis_name: str = AXIS):
+    """All-reduce of the (seen-once, seen-twice) bit-pair monoid over
+    per-device seen filters (each device contributes (once_i, 0)):
     (o1, t1) + (o2, t2) = (o1|o2, t1|t2|(o1&o2)). After the reduction
-    `twice` holds every bit set in >= 2 contributions — the cross-slab
-    duplicate evidence the repeat-BF build needs. ppermute butterfly
-    for power-of-two meshes (the monoid is associative + commutative),
-    all_gather fallback otherwise. Call inside shard_map."""
+    `twice` holds every bit set in >= 2 devices' filters — the
+    cross-slab duplicate evidence the repeat-BF build needs. ppermute
+    butterfly for power-of-two meshes (the monoid is associative +
+    commutative); the non-pow2 fallback all_gathers `once` alone
+    (gathering the pair would materialize 2*D full-filter copies —
+    ~6 GB at D=6 with a 2^34-bit filter). Call inside shard_map."""
     d = jax.lax.axis_size(axis_name)
+    twice = jnp.zeros_like(once)
     if d == 1:
         return once, twice
     if d & (d - 1) == 0:
@@ -573,11 +577,10 @@ def _allreduce_dup(once, twice, axis_name: str = AXIS):
             step <<= 1
         return once, twice
     o_all = jax.lax.all_gather(once, axis_name)  # [D, W]
-    t_all = jax.lax.all_gather(twice, axis_name)
     o_acc = o_all[0]
-    t_acc = t_all[0]
+    t_acc = twice
     for i in range(1, d):
-        t_acc = t_acc | t_all[i] | (o_acc & o_all[i])
+        t_acc = t_acc | (o_acc & o_all[i])
         o_acc = o_acc | o_all[i]
     return o_acc, t_acc
 
@@ -596,6 +599,8 @@ def _sharded_repeat_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
     iff b is set in >= 2 devices' seen words)."""
 
     def local(packed2_row, isn_row, rep_words):
+        from ..ops import bf_build
+
         slab = _unpack_row(packed2_row[0], isn_row[0])
         nc = seg + k - 1
         n_words = (1 << bits_log2) // 32
@@ -604,26 +609,16 @@ def _sharded_repeat_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
             rep, seen = carry
             tile = jax.lax.dynamic_slice(slab, (i * seg,), (nc,))
             h = nthash.hash_tile(tile, k)
-            hi, lo, valid = h["canon_hi"], h["canon_lo"], h["valid"]
-            already = bloom.bf_probe(seen, hi, lo, bits_log2)
-            n = hi.shape[0]
-            idx = jnp.arange(n, dtype=jnp.int32)
-            s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
-            dup_prev = jnp.concatenate(
-                [
-                    jnp.zeros(1, dtype=bool),
-                    (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
-                ]
+            # duplicate-detection semantics shared with the single-chip
+            # builder (ops/bf_build.repeat_segment_update)
+            return bf_build.repeat_segment_update(
+                rep, seen, h["canon_hi"], h["canon_lo"], h["valid"], bits_log2
             )
-            first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
-            rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
-            seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
-            return rep, seen
 
         rep0 = jnp.zeros(n_words, jnp.uint32)
         seen0 = jnp.zeros(n_words, jnp.uint32)
         rep, seen = jax.lax.fori_loop(0, n_segs, body, (rep0, seen0))
-        _, twice = _allreduce_dup(seen, jnp.zeros_like(seen))
+        _, twice = _allreduce_dup(seen)
         return rep_words | allreduce_or(rep) | twice
 
     fn = jax.shard_map(
