@@ -413,3 +413,16 @@ def test_no_common_bf_path(tmp_path, base_genome):
     rows = open(out).read().splitlines()
     assert len(rows) >= 2 and all(len(r.split("\t")) == 8 for r in rows)
     assert not os.path.exists(tmp_path / "nc.common.bf")
+
+
+def test_duplicate_basename_rejected(tmp_path, base_genome):
+    """Two FASTAs with one basename must raise (the basename is the
+    assembly key; collapsing them would run a genome against itself)."""
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    fa = write_fasta(d1 / "g.fa", [("chr1", base_genome)])
+    fb = write_fasta(d2 / "g.fa", [("chr1", base_genome)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate genome file basenames"):
+        NtSyntTPU(_cfg([str(fa), str(fb)], tmp_path, prefix="dup")).run()
