@@ -139,13 +139,28 @@ class SyntenyDetector:
     def write_dot(self, path: str):
         """Emit the minimizer graph as Graphviz (the reference's
         <prefix>.mx.dot artifact from make_minimizer_graph)."""
+        g = self.graph  # snapshot: self.graph is reassigned, never mutated
         with open(path, "w", encoding="utf-8") as f:
             f.write("graph {\n")
-            for i, h in enumerate(self.graph.node_hash):
-                f.write(f'  n{i} [label="{h}"];\n')
-            for u, v, w in zip(self.graph.eu, self.graph.ev, self.graph.weight):
-                f.write(f"  n{u} -- n{v} [weight={w}];\n")
+            f.writelines(
+                f'  n{i} [label="{h}"];\n' for i, h in enumerate(g.node_hash)
+            )
+            f.writelines(
+                f"  n{u} -- n{v} [weight={w}];\n"
+                for u, v, w in zip(g.eu, g.ev, g.weight)
+            )
             f.write("}\n")
+
+    def write_dot_async(self, path: str):
+        """Start write_dot on a background thread (gigabase graphs
+        format millions of text lines — seconds of host wall that
+        nothing downstream waits on); returns the thread. run() joins
+        it before returning so the artifact contract holds."""
+        import threading
+
+        t = threading.Thread(target=self.write_dot, args=(path,))
+        t.start()
+        return t
 
     def paths_to_blocks(self, paths):
         """find_paths_synteny_blocks (bin/ntsynt_synteny.py:543-546),
@@ -477,8 +492,9 @@ class SyntenyDetector:
         self.make_minimizer_graph()
         # the reference always emits the graph artifact from
         # make_minimizer_graph (expected-result listing, SURVEY.md §2.4)
+        dot_thread = None
         if p.write_output:
-            self.write_dot(f"{p.prefix}.mx.dot")
+            dot_thread = self.write_dot_async(f"{p.prefix}.mx.dot")
         if p.simplify_graph:
             log("Running graph simplification")
             self.graph = self.graph.simplify_bubbles(self.max_edge_weight)
@@ -501,5 +517,7 @@ class SyntenyDetector:
         log("Done initial synteny blocks")
 
         self.refine_block_coordinates(blocks)
+        if dot_thread is not None:
+            dot_thread.join()
         log("DONE!")
         return f"{p.prefix}.synteny_blocks.tsv"
