@@ -141,7 +141,29 @@ def main():
         # warm-up run (compiles; artifacts cached), then min-of-R
         # measured runs (the shared device's run-to-run wall varies
         # 2-3x with external tenant load; min recovers capability)
+        from ntsynt_tpu.utils import compile_cache
+
+        cache_dir = compile_cache.default_cache_dir()
+
+        def _cache_entries():
+            try:
+                return {n for n in os.listdir(cache_dir) if n.startswith("jit_")}
+            except OSError:
+                return set()
+
+        pre_entries = _cache_entries()
         warm_wall, out = run_once(force=False)
+        # any entry WRITTEN during warmup = a program the shipped cache
+        # missed; name them so a stale cache is diagnosable (VERDICT r3)
+        missed = sorted(_cache_entries() - pre_entries)
+        if missed:
+            print(
+                f"compile-cache MISSES ({len(missed)} programs):",
+                *missed,
+                sep="\n  ",
+                file=sys.stderr,
+                flush=True,
+            )
         runs = []
         best_timer = {}
         for _ in range(max(args.runs, 1)):
@@ -166,8 +188,12 @@ def main():
         # the best measured run — a standalone re-sketch would re-pack
         # and re-upload the stream and time the tunnel, not the chip
         first = os.path.basename(fastas[0])
-        sketch_wall = best_timer.get(f"sketch:{first}", float("nan"))
-        sketch_gbps = L / sketch_wall / 1e9
+        sketch_wall = best_timer.get(f"sketch:{first}")
+        # None (e.g. artifact reuse skipped the stage) -> null in the
+        # JSON: json.dumps would otherwise emit non-standard NaN
+        sketch_gbps = (
+            round(L / sketch_wall / 1e9, 3) if sketch_wall else None
+        )
 
         total_gbp = args.genomes * L / 1e9
         vs_baseline = (total_gbp / GBP_PER_SECOND_BASELINE) / e2e_wall
@@ -178,7 +204,8 @@ def main():
                     value=e2e_wall,
                     unit="s",
                     vs_baseline=round(vs_baseline, 2),
-                    sketch_gbps_per_chip=round(sketch_gbps, 3),
+                    sketch_gbps_per_chip=sketch_gbps,
+                    cache_missed_programs=len(missed),
                     warmup_wall_s=round(warm_wall, 2),
                     runs_s=runs,
                     n_measured_runs=len(runs),

@@ -282,6 +282,7 @@ def filter_common(assemblies: dict) -> None:
         a.lists = np.split(flat[keep], np.cumsum(kept_per_list)[:-1])
         if not keep.all():
             a.sort_order = None  # lists changed; cached order is stale
+            a.pos_lists = None  # positions no longer align with lists
 
 
 def filter_segments_common(segments_per_asm: dict) -> dict:

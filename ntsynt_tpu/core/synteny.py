@@ -136,10 +136,10 @@ class SyntenyDetector:
         adj = [(k, self.assemblies[k].lists) for k in self.files]
         self.graph = MinimizerGraph.build(adj, self.weights)
 
-    def write_dot(self, path: str):
+    def write_dot(self, path: str, graph=None):
         """Emit the minimizer graph as Graphviz (the reference's
         <prefix>.mx.dot artifact from make_minimizer_graph)."""
-        g = self.graph  # snapshot: self.graph is reassigned, never mutated
+        g = self.graph if graph is None else graph
         with open(path, "w", encoding="utf-8") as f:
             f.write("graph {\n")
             f.writelines(
@@ -155,10 +155,15 @@ class SyntenyDetector:
         """Start write_dot on a background thread (gigabase graphs
         format millions of text lines — seconds of host wall that
         nothing downstream waits on); returns the thread. run() joins
-        it before returning so the artifact contract holds."""
+        it before returning so the artifact contract holds. The graph is
+        snapshotted HERE, on the caller thread: run() reassigns
+        self.graph (simplify_bubbles / filter_global) right after
+        scheduling, and the artifact must capture the
+        make_minimizer_graph output the reference emits."""
         import threading
 
-        t = threading.Thread(target=self.write_dot, args=(path,))
+        g = self.graph  # snapshot before run() reassigns self.graph
+        t = threading.Thread(target=self.write_dot, args=(path, g))
         t.start()
         return t
 

@@ -164,7 +164,8 @@ class MinimizerGraph:
         # ~40 MB/s, so halving the working set nearly halves the cold
         # wall (tests/test_scale.py).
         t = len(all_hashes)
-        assert t < (1 << 31), "graph occurrence count exceeds int32"
+        if t >= (1 << 31):  # explicit raise: survives python -O
+            raise ValueError("graph occurrence count exceeds int32")
         if t:
             order = np.argsort(all_hashes, kind="stable").astype(np.int32, copy=False)
             sh = all_hashes[order]
@@ -432,7 +433,8 @@ class MinimizerGraph:
         # Everything id-sized is int32 (2m < 2^31): the doubling loop
         # makes ~log2(2m) passes over these arrays, and on the dev VM
         # fresh pages fault ~80x slower than they copy.
-        assert 2 * m < (1 << 31), "edge count exceeds int32 path extraction"
+        if 2 * m >= (1 << 31):  # explicit raise: survives python -O
+            raise ValueError("edge count exceeds int32 path extraction")
         du = np.concatenate([self.eu, self.ev])
         dv = np.concatenate([self.ev, self.eu])
         # neighbor table for nodes of degree <= 2 (vectorized from CSR)

@@ -36,12 +36,12 @@ def default_cache_dir() -> str:
                 src = os.path.join(_REPO_DIR, name)
                 dst = os.path.join(DEFAULT_DIR, name)
                 if not os.path.exists(dst) and os.path.isfile(src):
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        import shutil
+                    # copy, never hardlink: a shared inode would let any
+                    # in-place write by the jax cache layer corrupt the
+                    # committed repo cache files
+                    import shutil
 
-                        shutil.copy2(src, dst)
+                    shutil.copy2(src, dst)
         except OSError:
             return _REPO_DIR  # /tmp unusable; fall back to the repo cache
     return DEFAULT_DIR
