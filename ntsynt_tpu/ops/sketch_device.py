@@ -10,14 +10,31 @@ the *selected minimizers*:
      segment (no per-chunk host->device copies),
   2. hashing + block-layout window argmin as usual (ops/nthash,
      ops/winmin),
-  3. selection flags = run starts of the per-window argmin sequence
+  3. Bloom-filter solidity (indexlr -s/-r semantics) by ITERATIVE
+     EXCLUSION instead of probing every k-mer: compute the unfiltered
+     window argmin, probe only the distinct winners (~2 per w windows,
+     i.e. ~500x fewer probes than positions at w=1000), mask non-solid
+     winners to +inf and re-min until every winner is solid. Masking
+     only ever removes non-solid positions, so on convergence each
+     window's winner equals its min over solid candidates EXACTLY (the
+     solid candidates all survive; the winner is solid and <= all of
+     them). XLA-TPU gathers serialize at ~75 M elem/s, which made
+     probe-every-position ~13.6 s/Gbp — the single largest sketch cost
+     (replaces btllib indexlr's per-kmer BF contains(),
+     /root/reference/README and .smk:85 `-s common.bf`).
+     Non-convergence within MAX_SOLID_ITERS or winner-compaction
+     overflow falls back to the exact probe-all formulation per segment
+     (lax.cond), so results are unconditionally bit-identical.
+  4. selection flags = run starts of the per-window argmin sequence
      (argmin is monotone in the window index, so each selected position
-     is exactly one run), computed with block-space shifts,
-  4. a Pallas kernel compacts each 8-row tile's flagged (position,
-     window) pairs into CAP=128 slots using one-hot MXU matmuls —
-     stream compaction without any gather/scatter (XLA TPU
-     gathers/scatters serialize at ~60M elem/s),
-  5. all segments run inside ONE jitted fori_loop dispatch and come
+     is exactly one run), computed with block-space shifts; the
+     legit-window mask (windows fully inside one contig) is applied ON
+     DEVICE from an uploaded 1-bit-per-window bitmap, so the host never
+     re-masks and the old `win` output lane is gone entirely,
+  5. a Pallas kernel compacts each 8-row tile's flagged positions into
+     CAP=128 slots using one-hot MXU matmuls — stream compaction
+     without any gather/scatter,
+  6. all segments run inside ONE jitted fori_loop dispatch and come
      back in one batched transfer (~0.1 byte/base); the host maps
      positions back through contig tables and exactly recomputes the
      rare tile whose selections overflow CAP (dense repeat regions).
@@ -42,23 +59,41 @@ SEG_WINDOWS_DEFAULT = 1 << 20  # keep in sync with sketch.DEFAULT_CHUNK
 
 CAP = 128  # selection capacity per tile of ROW_TILE block rows
 
+SEG_SLOTS = 4096  # compacted selections per segment (expected ~2*seg/w
+# at default density; headroom ~2x; overflow -> host recompute)
 
-def _compact_kernel(w: int, wp: int):
+# iterative-exclusion rounds before the exact probe-all fallback. At
+# 0.1% SNP divergence ~5% of winners are non-solid, and each round
+# multiplies the bad fraction by ~5% again — 3-4 rounds converge a
+# 2^20-window segment; 8 leaves wide margin before paying the fallback.
+MAX_SOLID_ITERS = 8
+
+
+def _probe_all() -> bool:
+    """Env escape hatch: NTSYNT_PROBE_ALL=1 restores the old
+    probe-every-position formulation (A/B measurement)."""
+    import os
+
+    return bool(os.environ.get("NTSYNT_PROBE_ALL"))
+
+
+def _compact_kernel(w: int, wp: int, pos_only: bool):
     """Per grid cell: one tile of 8 block rows. The tile's flagged lanes
     (row-major order) compact into CAP slots via a tile-wide prefix sum
-    + accumulated one-hot MXU matmuls [CAP, wp] @ [wp, 6] producing
-    (position, window, hash-half) tuples. The window min hash (= the
-    selected k-mer's printed ntHash, see ops/winmin) rides along as four
-    16-bit halves — f32 carries <= 2^16 exactly — so the host epilogue
-    never re-hashes selected k-mers (_hash_at_positions was ~1.5 s per
-    100 Mbp genome of pure host time)."""
+    + accumulated one-hot MXU matmuls [CAP, wp] @ [wp, L] producing
+    (position[, hash-half]) tuples. The window min hash (= the selected
+    k-mer's printed ntHash, see ops/winmin) rides along as four 16-bit
+    halves — f32 carries <= 2^16 exactly — so the host epilogue never
+    re-hashes selected k-mers. pos_only drops the hash lanes (the
+    solid-iteration loop only needs winner positions to probe)."""
 
-    def kernel(flag_ref, val_ref, hi_ref, lo_ref,
-               vals_ref, wins_ref, hh_ref, hl_ref, lh_ref, ll_ref, cnt_ref):
+    def kernel(flag_ref, val_ref, *refs):
+        if pos_only:
+            vals_ref, cnt_ref = refs
+        else:
+            hi_ref, lo_ref, vals_ref, hh_ref, hl_ref, lh_ref, ll_ref, cnt_ref = refs
         f = flag_ref[:]  # [8, wp] int32 0/1 (garbage lanes pre-zeroed)
         val = val_ref[:]  # [8, wp] int32 argmin positions
-        mhi = hi_ref[:]  # [8, wp] uint32 window-min hash high half
-        mlo = lo_ref[:]  # [8, wp] uint32 window-min hash low half
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, wp), 1)
         # within-row inclusive prefix sum (log2(wp) lane rolls)
         ps = f
@@ -78,33 +113,27 @@ def _compact_kernel(w: int, wp: int):
             s <<= 1
         ro = inc - totals  # exclusive
         slot = ps - f + ro
-        tile = pl.program_id(0)
         # tpu.iota is integer-only; cast afterwards
         cap_iota = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 0).astype(jnp.float32)
-        lane_f = jax.lax.broadcasted_iota(jnp.int32, (CAP, wp), 1).astype(jnp.float32)
-        # 16-bit halves as exact f32 payloads (via int32: u32->f32 is
-        # not a single Mosaic cast)
-        hi_hi = ((mhi >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        hi_lo = (mhi & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        lo_hi = ((mlo >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        lo_lo = (mlo & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
-        out = jnp.zeros((CAP, 6), jnp.float32)
+        n_lanes = 1 if pos_only else 5
+        if not pos_only:
+            mhi = hi_ref[:]  # [8, wp] uint32 window-min hash high half
+            mlo = lo_ref[:]  # [8, wp] uint32 window-min hash low half
+            # 16-bit halves as exact f32 payloads (via int32: u32->f32 is
+            # not a single Mosaic cast)
+            hi_hi = ((mhi >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+            hi_lo = (mhi & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+            lo_hi = ((mlo >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+            lo_lo = (mlo & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        out = jnp.zeros((CAP, n_lanes), jnp.float32)
         for r in range(ROW_TILE):
             slot_r = jnp.broadcast_to(slot[r : r + 1].astype(jnp.float32), (CAP, wp))
             f_r = jnp.broadcast_to(f[r : r + 1].astype(jnp.float32), (CAP, wp))
             oh = jnp.where((slot_r == cap_iota) & (f_r > 0), 1.0, 0.0)
-            row_base = (tile * ROW_TILE + r) * w
-            x = jnp.stack(
-                [
-                    val[r].astype(jnp.float32),
-                    lane_f[0] + jnp.float32(row_base),
-                    hi_hi[r],
-                    hi_lo[r],
-                    lo_hi[r],
-                    lo_lo[r],
-                ],
-                axis=1,
-            )  # [wp, 6]
+            cols = [val[r].astype(jnp.float32)]
+            if not pos_only:
+                cols += [hi_hi[r], hi_lo[r], lo_hi[r], lo_lo[r]]
+            x = jnp.stack(cols, axis=1)  # [wp, n_lanes]
             # HIGHEST precision: the MXU's default bf16 passes round
             # integer payloads > 2^8 (observed on hardware)
             out = out + jnp.dot(
@@ -114,11 +143,11 @@ def _compact_kernel(w: int, wp: int):
                 precision=jax.lax.Precision.HIGHEST,
             )
         vals_ref[0, 0, :] = out[:, 0]
-        wins_ref[0, 0, :] = out[:, 1]
-        hh_ref[0, 0, :] = out[:, 2]
-        hl_ref[0, 0, :] = out[:, 3]
-        lh_ref[0, 0, :] = out[:, 4]
-        ll_ref[0, 0, :] = out[:, 5]
+        if not pos_only:
+            hh_ref[0, 0, :] = out[:, 1]
+            hl_ref[0, 0, :] = out[:, 2]
+            lh_ref[0, 0, :] = out[:, 3]
+            ll_ref[0, 0, :] = out[:, 4]
         cnt_ref[0, 0, :] = jnp.broadcast_to(
             inc[ROW_TILE - 1 : ROW_TILE, :1].astype(jnp.float32), (1, 128)
         ).reshape(128)
@@ -127,23 +156,33 @@ def _compact_kernel(w: int, wp: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compact_call(nb: int, w: int, wp: int, interpret: bool):
+def _compact_call(nb: int, w: int, wp: int, pos_only: bool, interpret: bool):
     in_spec = pl.BlockSpec((ROW_TILE, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     # 3D outputs [n_tiles, 1, 128]: block (1, 1, 128) satisfies the
     # last-two-dims tiling rule (middle dim equals the array dim)
     out_spec = pl.BlockSpec((1, 1, CAP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     n_tiles = nb // ROW_TILE
+    n_out = 2 if pos_only else 6
+    n_in = 2 if pos_only else 4
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32) for _ in range(6)
+        jax.ShapeDtypeStruct((n_tiles, 1, CAP), jnp.float32) for _ in range(n_out - 1)
     ] + [jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.float32)]
     return pl.pallas_call(
-        _compact_kernel(w, wp),
+        _compact_kernel(w, wp, pos_only),
         grid=(n_tiles,),
-        in_specs=[in_spec] * 4,
-        out_specs=[out_spec] * 7,
+        in_specs=[in_spec] * n_in,
+        out_specs=[out_spec] * n_out,
         out_shape=out_shape,
         interpret=interpret,
     )
+
+
+def _pad_tiles(arrs):
+    nb = arrs[0].shape[0]
+    pad = (-nb) % ROW_TILE
+    if pad:
+        arrs = [jnp.pad(a, ((0, pad), (0, 0))) for a in arrs]
+    return arrs, nb + pad
 
 
 def compact_rows(flag, val, min_hi, min_lo, w: int, interpret: bool = False):
@@ -155,23 +194,70 @@ def compact_rows(flag, val, min_hi, min_lo, w: int, interpret: bool = False):
       val: int32 [nb, wp] argmin positions.
       min_hi/min_lo: uint32 [nb, wp] window-min hash halves (the
         selected position's printed hash; garbage where flag == 0).
-    Returns (vals f32 [T, CAP], wins f32 [T, CAP], hash_hi u32 [T, CAP],
-    hash_lo u32 [T, CAP], counts f32 [T]) with T = ceil(nb / 8) tiles of
-    8 block rows (8*w windows each).
+    Returns (vals f32 [T, CAP], hash_hi u32 [T, CAP], hash_lo u32
+    [T, CAP], counts f32 [T]) with T = ceil(nb / 8) tiles of 8 block
+    rows (8*w windows each).
     """
-    nb, wp = flag.shape
-    pad = (-nb) % ROW_TILE
-    if pad:
-        flag = jnp.pad(flag, ((0, pad), (0, 0)))
-        val = jnp.pad(val, ((0, pad), (0, 0)))
-        min_hi = jnp.pad(min_hi, ((0, pad), (0, 0)))
-        min_lo = jnp.pad(min_lo, ((0, pad), (0, 0)))
-    vals, wins, hh, hl, lh, ll, cnt = _compact_call(nb + pad, w, wp, interpret)(
+    (flag, val, min_hi, min_lo), nbp = _pad_tiles([flag, val, min_hi, min_lo])
+    vals, hh, hl, lh, ll, cnt = _compact_call(nbp, w, flag.shape[1], False, interpret)(
         flag, val, min_hi, min_lo
     )
     hash_hi = (hh[:, 0, :].astype(jnp.uint32) << 16) | hl[:, 0, :].astype(jnp.uint32)
     hash_lo = (lh[:, 0, :].astype(jnp.uint32) << 16) | ll[:, 0, :].astype(jnp.uint32)
-    return vals[:, 0, :], wins[:, 0, :], hash_hi, hash_lo, cnt[:, 0, 0]
+    return vals[:, 0, :], hash_hi, hash_lo, cnt[:, 0, 0]
+
+
+def compact_positions(flag, val, w: int, interpret: bool = False):
+    """Positions-only compaction (solid-iteration probing): returns
+    (vals f32 [T, CAP], counts f32 [T])."""
+    (flag, val), nbp = _pad_tiles([flag, val])
+    vals, cnt = _compact_call(nbp, w, flag.shape[1], True, interpret)(flag, val)
+    return vals[:, 0, :], cnt[:, 0, 0]
+
+
+def _run_start_flag(arg, min_hi, min_lo, w: int, seg: int, legit_blk=None):
+    """Selection flags: 1 where the per-window argmin run starts.
+
+    legit_blk=None keeps EVERY window (the solid-iteration loop must
+    probe winners of illegit windows too — convergence has to mean
+    "every window's winner is solid" for the emitted runs to be
+    bit-identical to the probe-all formulation); the emission flag
+    passes the on-device legit mask so only per-contig windows ship.
+    """
+    nb, wp = arg.shape
+    win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 0)
+    j = row * w + lane
+    live = (lane < w) & (j < seg) & win_valid
+    if legit_blk is not None:
+        live = live & legit_blk
+    # run starts: argmin differs from the previous flat window's
+    prev = jnp.concatenate([jnp.full((nb, 1), -1, arg.dtype), arg[:, :-1]], axis=1)
+    row_up = jnp.concatenate([jnp.full((1, wp), -1, arg.dtype), arg[:-1]], axis=0)
+    # previous of lane 0 is the previous row's lane w-1
+    prev = jnp.where(lane == 0, row_up[:, w - 1 : w], prev)
+    return (live & (arg != prev)).astype(jnp.int32)
+
+
+def _slot_scatter(vals, cnt):
+    """Second-level compaction: per-tile counted slots -> SEG_SLOTS
+    entries + total + overflow flag (cnt > CAP or slots exhausted)."""
+    tiles = cnt.shape[0]
+    n_tile = jnp.minimum(cnt.astype(jnp.int32), CAP)  # [tiles]
+    off = jnp.cumsum(n_tile) - n_tile  # exclusive [tiles]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tiles, CAP), 1)
+    ok = lane < n_tile[:, None]
+    idx = jnp.where(ok, off[:, None] + lane, SEG_SLOTS).reshape(-1)  # OOB -> drop
+    total = jnp.sum(n_tile)
+    overflow = jnp.any(cnt > CAP) | (total > SEG_SLOTS)
+    return idx, total, overflow
+
+
+def _scatter_u32(idx, src):
+    return jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
+        src.astype(jnp.uint32).reshape(-1), mode="drop"
+    )
 
 
 def _dedupe_pos_hash(pos: np.ndarray, h: np.ndarray):
@@ -194,12 +280,21 @@ def _n_tiles(seg: int, w: int) -> int:
     return -(-nb // ROW_TILE)
 
 
-SEG_SLOTS = 4096  # compacted selections per segment (expected ~2*seg/w
-# at default density; headroom ~2x; overflow -> host recompute)
+def _legit_blk_from_bits(legit_bytes, nb: int, wp: int, w: int, seg: int):
+    """[seg//8] packed per-segment-planar legit bits -> bool [nb, wp]
+    block layout (lane c of row r = window r*w + c; padding False)."""
+    b = legit_bytes
+    bits = jnp.concatenate([(b >> j) & 1 for j in range(8)]) != 0  # [seg]
+    bits = jnp.pad(bits, (0, nb * w - seg))  # False beyond the segment
+    blk = bits.reshape(nb, w)
+    if wp != w:
+        blk = jnp.pad(blk, ((0, 0), (0, wp - w)))
+    return blk
 
 
 @functools.lru_cache(maxsize=None)
-def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2, n_repeat_log2, interpret: bool):
+def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2,
+               n_repeat_log2, interpret: bool, probe_all: bool):
     """Whole-stream sketcher: ONE dispatch runs a fori_loop over up to
     segs_cap segments (dispatch + transfer round-trips through the
     device tunnel cost ~100 ms each; 24 per genome dominated the wall
@@ -208,44 +303,32 @@ def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2, n_repeat_
     into SEG_SLOTS entries on device: the result transfer drops from
     ~34 MB to ~4 MB per 100 Mbp genome over the ~10-17 MB/s
     device->host tunnel."""
-    seg_fn = _segment_fn(k, w, seg, n_common_log2, n_repeat_log2, interpret)
+    seg_fn = _segment_fn(k, w, seg, n_common_log2, n_repeat_log2, interpret,
+                         probe_all)
     tiles = _n_tiles(seg, w)
+    seg_bytes = seg // 8
 
     @jax.jit
-    def run(codes_buf, n_segs, common_words, repeat_words):
+    def run(codes_buf, legit_bits, n_segs, common_words, repeat_words):
         def body(i, acc):
-            vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc = acc
-            vals, wins, hhi, hlo, cnt = seg_fn(
-                codes_buf, i * seg, common_words, repeat_words
+            vals_acc, hi_acc, lo_acc, cnt_acc = acc
+            lb = jax.lax.dynamic_slice(legit_bits, (i * seg_bytes,), (seg_bytes,))
+            vals, hhi, hlo, cnt = seg_fn(
+                codes_buf, i * seg, lb, common_words, repeat_words
             )
             # second-level compaction: scatter each tile's first
             # min(cnt, CAP) slots at its exclusive-prefix offset
-            n_tile = jnp.minimum(cnt.astype(jnp.int32), CAP)  # [tiles]
-            off = jnp.cumsum(n_tile) - n_tile  # exclusive [tiles]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tiles, CAP), 1)
-            ok = lane < n_tile[:, None]
-            idx = jnp.where(ok, off[:, None] + lane, SEG_SLOTS).reshape(-1)  # OOB -> drop
-            sv = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
-                vals.astype(jnp.uint32).reshape(-1), mode="drop"
-            )
-            sw = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
-                wins.astype(jnp.uint32).reshape(-1), mode="drop"
-            )
-            shi = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
-                hhi.reshape(-1), mode="drop"
-            )
-            slo = jnp.zeros(SEG_SLOTS, jnp.uint32).at[idx].set(
-                hlo.reshape(-1), mode="drop"
-            )
+            idx, _, _ = _slot_scatter(vals, cnt)
+            sv = _scatter_u32(idx, vals)
+            shi = _scatter_u32(idx, hhi)
+            slo = _scatter_u32(idx, hlo)
             vals_acc = jax.lax.dynamic_update_slice(vals_acc, sv[None], (i, 0))
-            wins_acc = jax.lax.dynamic_update_slice(wins_acc, sw[None], (i, 0))
             hi_acc = jax.lax.dynamic_update_slice(hi_acc, shi[None], (i, 0))
             lo_acc = jax.lax.dynamic_update_slice(lo_acc, slo[None], (i, 0))
             cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, cnt[None], (i, 0))
-            return vals_acc, wins_acc, hi_acc, lo_acc, cnt_acc
+            return vals_acc, hi_acc, lo_acc, cnt_acc
 
         init = (
-            jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
             jnp.zeros((segs_cap, SEG_SLOTS), jnp.uint32),
@@ -257,16 +340,31 @@ def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2, n_repeat_
 
 
 @functools.lru_cache(maxsize=None)
-def _segment_fn(k: int, w: int, seg: int, n_common_log2, n_repeat_log2, interpret: bool):
+def _segment_fn(k: int, w: int, seg: int, n_common_log2, n_repeat_log2,
+                interpret: bool, probe_all: bool = False):
     """Per-segment sketcher: device codes buffer -> compacted selected
     minimizer positions (traceable; also jittable standalone)."""
     nk = seg + w - 1
     nc = nk + k - 1
+    nb = -(-nk // w)
+    wp = -(-w // 128) * 128
+    want_canon = n_common_log2 is not None or n_repeat_log2 is not None
+    # the iteration loop needs winners to fit the compact capacity;
+    # small w (winner density 2/w) would chronically overflow SEG_SLOTS
+    # and pay loop + fallback — go straight to probe-all there
+    iterate = want_canon and not probe_all and (2.5 * seg / w + 64 <= SEG_SLOTS)
 
-    def run(codes_buf, offset, common_words, repeat_words):
+    def _probe_ok(c_hi, c_lo, common_words, repeat_words):
+        ok = jnp.ones(c_hi.shape, dtype=bool)
+        if n_common_log2 is not None:
+            ok = ok & bloom.bf_probe(common_words, c_hi, c_lo, n_common_log2)
+        if n_repeat_log2 is not None:
+            ok = ok & ~bloom.bf_probe(repeat_words, c_hi, c_lo, n_repeat_log2)
+        return ok
+
+    def run(codes_buf, offset, legit_bytes, common_words, repeat_words):
         codes = jax.lax.dynamic_slice(codes_buf, (offset,), (nc,))
         use_pallas = winmin._use_pallas() or interpret
-        want_canon = n_common_log2 is not None or n_repeat_log2 is not None
         if use_pallas:
             from . import nthash_pallas
 
@@ -282,40 +380,77 @@ def _segment_fn(k: int, w: int, seg: int, n_common_log2, n_repeat_log2, interpre
             key_hi = jnp.where(valid0, h["out_hi"], winmin.UMAX)
             key_lo = jnp.where(valid0, h["out_lo"], winmin.UMAX)
             canon_hi, canon_lo = h["canon_hi"], h["canon_lo"]
-        if want_canon:
-            keep = jnp.ones(nk, dtype=bool)
-            if n_common_log2 is not None:
-                keep = keep & bloom.bf_probe(
-                    common_words, canon_hi, canon_lo, n_common_log2
-                )
-            if n_repeat_log2 is not None:
-                keep = keep & ~bloom.bf_probe(
-                    repeat_words, canon_hi, canon_lo, n_repeat_log2
-                )
-            key_hi = jnp.where(keep, key_hi, winmin.UMAX)
-            key_lo = jnp.where(keep, key_lo, winmin.UMAX)
-        arg, min_hi, min_lo = winmin.sliding_block_argmin(key_hi, key_lo, w)
-        nb, wp = arg.shape
-        win_valid = ~((min_hi == winmin.UMAX) & (min_lo == winmin.UMAX))
+        legit_blk = _legit_blk_from_bits(legit_bytes, nb, wp, w, seg)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (nb, wp), 0)
-        j = row * w + lane
-        live = (lane < w) & (j < seg) & win_valid
+        def full_probe(kh, kl):
+            """Exact probe-every-position formulation (fallback + A/B)."""
+            keep = _probe_ok(canon_hi, canon_lo, common_words, repeat_words)
+            kh = jnp.where(keep, kh, winmin.UMAX)
+            kl = jnp.where(keep, kl, winmin.UMAX)
+            return winmin.sliding_block_argmin(kh, kl, w)
 
-        # run starts: argmin differs from the previous flat window's
-        prev = jnp.concatenate(
-            [jnp.full((nb, 1), -1, arg.dtype), arg[:, :-1]], axis=1
-        )
-        row_up = jnp.concatenate(
-            [jnp.full((1, wp), -1, arg.dtype), arg[:-1]], axis=0
-        )
-        # previous of lane 0 is the previous row's lane w-1
-        prev = jnp.where(lane == 0, row_up[:, w - 1 : w], prev)
-        flag = (live & (arg != prev)).astype(jnp.int32)
+        if want_canon and not iterate:
+            arg, min_hi, min_lo = full_probe(key_hi, key_lo)
+        elif not want_canon:
+            arg, min_hi, min_lo = winmin.sliding_block_argmin(key_hi, key_lo, w)
+        else:
+            zero_arg = jnp.zeros((nb, wp), jnp.int32)
+            zero_m = jnp.full((nb, wp), winmin.UMAX, jnp.uint32)
+            init = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                    key_hi, key_lo, zero_arg, zero_m, zero_m)
+
+            def cond(st):
+                it, done, give_up = st[0], st[1], st[2]
+                return (~done) & (~give_up) & (it < MAX_SOLID_ITERS)
+
+            def body(st):
+                it, _, give_up, kh, kl, _, _, _ = st
+                a, mh, ml = winmin.sliding_block_argmin(kh, kl, w)
+                flag = _run_start_flag(a, mh, ml, w, seg)  # ALL windows
+                vals, cnt = compact_positions(flag, a, w, interpret=interpret)
+                idx, total, overflow = _slot_scatter(vals, cnt)
+                pos = jnp.zeros(SEG_SLOTS, jnp.int32).at[idx].set(
+                    vals.astype(jnp.int32).reshape(-1), mode="drop"
+                )
+                slot_ok = jnp.arange(SEG_SLOTS, dtype=jnp.int32) < total
+                ok = _probe_ok(canon_hi[pos], canon_lo[pos],
+                               common_words, repeat_words)
+                bad = slot_ok & ~ok
+                done = ~jnp.any(bad)
+                # mask non-solid winners to +inf (never removes a solid
+                # candidate, so the converged argmin is the exact
+                # min-over-solid of every window)
+                midx = jnp.where(bad, pos, jnp.int32(nk))
+                kh = kh.at[midx].set(winmin.UMAX, mode="drop")
+                kl = kl.at[midx].set(winmin.UMAX, mode="drop")
+                return (it + 1, done, give_up | overflow, kh, kl, a, mh, ml)
+
+            st = jax.lax.while_loop(cond, body, init)
+            converged = st[1] & ~st[2]
+            arg, min_hi, min_lo = jax.lax.cond(
+                converged,
+                lambda: (st[5], st[6], st[7]),
+                lambda: full_probe(key_hi, key_lo),
+            )
+
+        flag = _run_start_flag(arg, min_hi, min_lo, w, seg, legit_blk=legit_blk)
         return compact_rows(flag, arg, min_hi, min_lo, w, interpret=interpret)
 
     return run
+
+
+def _pack_legit_planar(legit: np.ndarray, segs_cap: int, seg: int):
+    """Pack the legit-window mask into per-segment-planar bytes: segment
+    s's bytes [s*seg/8, (s+1)*seg/8) hold its seg windows with plane j
+    of the byte block = windows [j*seg/8, (j+1)*seg/8) of the segment
+    (matches _legit_blk_from_bits' concat-unpack)."""
+    full = np.zeros(segs_cap * seg, dtype=bool)
+    full[: len(legit)] = legit[: segs_cap * seg]
+    planes = full.reshape(segs_cap, 8, seg // 8)
+    out = planes[:, 0, :].astype(np.uint8)
+    for j in range(1, 8):
+        out = out | (planes[:, j, :].astype(np.uint8) << j)
+    return out.reshape(-1)
 
 
 class DeviceSketcher:
@@ -325,6 +460,7 @@ class DeviceSketcher:
                  common_bf=None, repeat_bf=None, interpret: bool = False):
         self.k, self.w = k, w
         self.seg = seg_windows
+        assert self.seg % 8 == 0
         self.common_bf = common_bf
         self.repeat_bf = repeat_bf
         self.interpret = interpret
@@ -391,22 +527,26 @@ class DeviceSketcher:
         starts = list(range(0, nwin, seg))
         n_segs = len(starts)
         segs_cap = 1 << max(n_segs - 1, 1).bit_length()  # pow2 roundup
+        legit_bits = jnp.asarray(_pack_legit_planar(legit, segs_cap, seg))
         fn = _stream_fn(
-            self.k, self.w, seg, segs_cap, self._bits[0], self._bits[1], self.interpret
+            self.k, self.w, seg, segs_cap, self._bits[0], self._bits[1],
+            self.interpret, _probe_all(),
         )
-        out = fn(dbuf, jnp.int32(n_segs), cw, rw)
+        out = fn(dbuf, legit_bits, jnp.int32(n_segs), cw, rw)
         return (out, starts, stream_codes, legit)
 
     def collect_stream(self, pending):
         """Block on a dispatch_stream handle and map the compacted device
         output back to (positions, hashes): sorted unique selected k-mer
         stream positions and their printed ntHash values (from the
-        kernel's hash lanes — the host never re-hashes selections)."""
+        kernel's hash lanes — the host never re-hashes selections). The
+        legit-window mask is already applied on device (emission flags),
+        so no host-side keep pass runs here."""
         if pending is None:
             return np.zeros(0, np.int64), np.zeros(0, np.uint64)
         out, starts, stream_codes, legit = pending
         nwin = len(legit)
-        all_vals, all_wins, all_hi, all_lo, all_cnt = jax.device_get(out)
+        all_vals, all_hi, all_lo, all_cnt = jax.device_get(out)
         selected = []
         hashes = []
         for si, ws in enumerate(starts):
@@ -415,11 +555,9 @@ class DeviceSketcher:
             off = np.cumsum(n_tile) - n_tile  # device scatter offsets
             m = min(int(n_tile.sum()), SEG_SLOTS)
             v = all_vals[si][:m].astype(np.int64)
-            j = all_wins[si][:m].astype(np.int64)
             h = (all_hi[si][:m].astype(np.uint64) << np.uint64(32)) | all_lo[si][:m]
-            keep = legit[np.minimum(j + ws, nwin - 1)] & (j + ws < nwin)
-            selected.append(v[keep] + ws)
-            hashes.append(h[keep])
+            selected.append(v + ws)
+            hashes.append(h)
             # overflow: tile exceeded CAP slots, or its scatter range
             # crossed SEG_SLOTS (entries dropped) -> exact host recompute
             over = (cnt > CAP) | (off + n_tile > SEG_SLOTS)

@@ -296,3 +296,70 @@ def test_stream_slice_view_matches_codes():
     # out-of-range clamping mirrors ndarray slicing
     assert np.array_equal(view[st.total - 5 : st.total + 99], full[st.total - 5 :])
     assert view[3] == full[3]
+
+
+def test_device_engine_iterative_solid_matches_oracle():
+    """The iterative-exclusion solid path (probe only window winners,
+    mask non-solid ones, re-min) at a realistic ~95%-keep filter must
+    match the per-contig oracle and the probe-all formulation exactly,
+    including with a repeat filter and multi-contig streams."""
+    import functools
+    import os
+    from ntsynt_tpu.ops import sketch_device, winmin, nthash
+    from ntsynt_tpu.ops.bloom import DeviceBloomFilter
+    from ntsynt_tpu.ops.sketch import _Stream
+
+    rng = np.random.default_rng(77)
+    k, w = 24, 150
+    contigs = [_rand_contig(rng, 12_000, n_prob=0.001), _rand_contig(rng, 5_000)]
+    g = _genome_from_contigs(contigs)
+    st = _Stream(g, k, w)
+
+    # common BF keeping ~95% of k-mers (the 0.1%-SNP regime the
+    # iterative loop is built for); repeat BF dropping a few
+    canon, _, valid = nthash.hash_sequence_np(st.codes, k)
+    uniq = np.unique(canon[valid])
+    keep = uniq[rng.random(len(uniq)) > 0.05]
+    rep = uniq[rng.random(len(uniq)) < 0.01]
+
+    def dev_bf(keys, bits):
+        bf = DeviceBloomFilter(bits, k)
+        bf.insert(
+            jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        )
+        return bf
+
+    cbf, rbf = dev_bf(keep, 1 << 22), dev_bf(rep, 1 << 22)
+    nbf, nrf = NumpyBloomFilter(1 << 22, k), NumpyBloomFilter(1 << 22, k)
+    nbf.insert(keep)
+    nrf.insert(rep)
+
+    from ntsynt_tpu.ops import winmin_pallas
+
+    orig_scan = winmin_pallas.block_scans_pallas
+    try:
+        winmin._use_pallas = lambda: True
+        winmin_pallas.block_scans_pallas = functools.partial(orig_scan, interpret=True)
+        ds = sketch_device.DeviceSketcher(
+            k, w, seg_windows=1 << 11, common_bf=cbf, repeat_bf=rbf, interpret=True
+        )
+        sel, selh = ds.sketch_stream(st.codes, st.legit_windows())
+        cidx, cpos = st.to_contig_pos(sel)
+        for ci, contig in enumerate(contigs):
+            want = sketch.sketch_contig_np(contig, k, w, common=nbf, repeat=nrf)
+            assert (cpos[cidx == ci] == want).all(), ci
+        # probe-all formulation (env-gated) selects identically
+        os.environ["NTSYNT_PROBE_ALL"] = "1"
+        try:
+            ds2 = sketch_device.DeviceSketcher(
+                k, w, seg_windows=1 << 11, common_bf=cbf, repeat_bf=rbf,
+                interpret=True,
+            )
+            sel2, selh2 = ds2.sketch_stream(st.codes, st.legit_windows())
+        finally:
+            del os.environ["NTSYNT_PROBE_ALL"]
+        assert (sel2 == sel).all() and (selh2 == selh).all()
+    finally:
+        winmin._use_pallas = lambda: False
+        winmin_pallas.block_scans_pallas = orig_scan
