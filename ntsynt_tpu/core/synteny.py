@@ -254,24 +254,35 @@ class SyntenyDetector:
         return return_edges
 
     def refine_graph_erosion(self, flagged_pairs):
-        """refine_graph (bin/ntsynt_synteny.py:343-362)."""
-        if not flagged_pairs:
+        """refine_graph (bin/ntsynt_synteny.py:343-362).
+
+        flagged_pairs is the (u_hashes, v_hashes) array pair from
+        filter_global(flag=True). Both-degree-1 eligibility is computed
+        as a vectorized mask FIRST — the last refinement round can flag
+        millions of dropped edges at gigabase scale, and only a handful
+        survive the degree test — so the Python-level erosion walk loops
+        over survivors only (the reference loops all pairs,
+        bin/ntsynt_synteny.py:346-358; its scale never hurt)."""
+        hu_all, hv_all = flagged_pairs
+        if len(hu_all) == 0:
             return
+        iu = self.graph.node_index(np.asarray(hu_all, dtype=np.uint64))
+        iv = self.graph.node_index(np.asarray(hv_all, dtype=np.uint64))
         deg = self.graph.degree()
+        ok = (iu >= 0) & (iv >= 0)
+        ok &= deg[np.maximum(iu, 0)] == 1
+        ok &= deg[np.maximum(iv, 0)] == 1
+        if not ok.any():
+            return
         indptr, eids, other = self.graph.incident_csr()
         to_remove = []
-        idx_pairs = self.graph.node_index(
-            np.asarray(flagged_pairs, dtype=np.uint64).reshape(-1)
-        ).reshape(-1, 2)
-        for (hu, hv), (iu, iv) in zip(flagged_pairs, idx_pairs):
+        for j in np.where(ok)[0]:
+            hu, hv = int(hu_all[j]), int(hv_all[j])
+            ju, jv = int(iu[j]), int(iv[j])
             # normalize by hash STRING comparison for determinism (:350-352)
             if str(hu) > str(hv):
-                hu, hv, iu, iv = hv, hu, iv, iu
-            if iu < 0 or iv < 0:
-                continue
-            if deg[iu] != 1 or deg[iv] != 1:
-                continue
-            to_remove.extend(self._erode_edges(int(iu), int(iv), indptr, eids, other))
+                ju, jv = jv, ju
+            to_remove.extend(self._erode_edges(ju, jv, indptr, eids, other))
         if to_remove:
             self.graph = self.graph.delete_edges(set(to_remove))
 

@@ -310,22 +310,20 @@ class MinimizerGraph:
     def filter_global(self, min_weight: int, flag: bool = False):
         """Drop edges with weight < min_weight.
 
-        With flag=True also return the (u_hash, v_hash) endpoint pairs of
-        removed edges in edge order
+        With flag=True also return the (u_hashes, v_hashes) uint64
+        endpoint arrays of removed edges in edge order
         (filter_graph_global_flag_overlaps, bin/ntsynt_synteny.py:292-303).
+        Arrays, not Python tuples: the last refinement round can drop
+        millions of edges at gigabase scale, and the erosion pre-filter
+        (core/synteny.refine_graph_erosion) reduces them with vectorized
+        degree masks before any Python-level loop.
         """
         keep = self.weight >= min_weight
         g = MinimizerGraph(self.node_hash, self.eu[keep], self.ev[keep], self.weight[keep])
         if not flag:
             return g
         dropped = ~keep
-        pairs = list(
-            zip(
-                self.node_hash[self.eu[dropped]].tolist(),
-                self.node_hash[self.ev[dropped]].tolist(),
-            )
-        )
-        return g, pairs
+        return g, (self.node_hash[self.eu[dropped]], self.node_hash[self.ev[dropped]])
 
     # ------------------------------------------------------------------
     # queries

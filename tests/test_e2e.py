@@ -426,3 +426,37 @@ def test_duplicate_basename_rejected(tmp_path, base_genome):
 
     with _pytest.raises(ValueError, match="duplicate genome file basenames"):
         NtSyntTPU(_cfg([str(fa), str(fb)], tmp_path, prefix="dup")).run()
+
+
+def test_cli_filter_repeat_path(tmp_path, base_genome):
+    """--filter on the top-level CLI plumbs the experimental repeat-BF
+    path (the reference reaches it via bin/ntsynt_run.py:21; its driver
+    hides it). A tandem-duplicated region seeds the repeat filter; the
+    run must complete and still find the engineered inversion."""
+    from ntsynt_tpu.cli import main as cli_main
+
+    g = base_genome.copy()
+    g[150_000:160_000] = g[140_000:150_000]  # tandem repeat (multiplicity 2)
+    g2 = g.copy()
+    g2[40_000:80_000] = g2[40_000:80_000][::-1] ^ 3
+    fa = write_fasta(tmp_path / "ra.fa", [("chr1", g)])
+    fb = write_fasta(tmp_path / "rb.fa", [("chr1", g2)])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for mode in ("Indexlr", "Filter"):
+            rc = cli_main(
+                [
+                    str(fa), str(fb), "-d", "0.5",
+                    "-k", str(K), "-w", str(W),
+                    "--w_rounds", "50", "10",
+                    "--indel", "500", "--merge", "3000",
+                    "--filter", mode, "-p", f"rep_{mode}", "-f",
+                ]
+            )
+            assert rc == 0
+            assert os.path.exists(tmp_path / f"rep_{mode}.repeat.bf")
+            rows = read_blocks(str(tmp_path / f"rep_{mode}.synteny_blocks.tsv"))
+            assert any(r["ori"] == "-" for r in rows), mode  # inversion found
+    finally:
+        os.chdir(cwd)

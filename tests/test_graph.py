@@ -20,8 +20,8 @@ def test_build_weights_and_filter():
     assert w[(1, 2)] == 2 and w[(3, 4)] == 2 and w[(4, 9)] == 1
     f = g.filter_global(2)
     assert f.n_edges == 3
-    f2, pairs = g.filter_global(2, flag=True)
-    assert pairs == [(4, 9)]
+    f2, (pu, pv) = g.filter_global(2, flag=True)
+    assert pu.tolist() == [4] and pv.tolist() == [9]
 
 
 def test_reversed_adjacency_accumulates():

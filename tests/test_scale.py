@@ -116,3 +116,39 @@ def test_graph_blocks_6m_nodes_100k_paths():
         f"warm {warm1:.2f}/{warm2:.2f}s (min {warm:.2f}s, "
         f"cal {cal:.2f}s, bound {bound:.1f}s)"
     )
+
+
+def test_erosion_prefilter_million_flagged_pairs():
+    """The last refinement round can flag millions of dropped edges;
+    refine_graph_erosion must reduce them with vectorized degree masks
+    (no Python loop over all pairs), walking only both-deg-1 survivors."""
+    from ntsynt_tpu.graph.mxgraph import MinimizerGraph
+
+    n = 2_000_000
+    hashes = np.arange(1, n + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    # one long chain: interior nodes have degree 2 -> no pair survives
+    eu = np.arange(n - 1, dtype=np.int32)
+    ev = eu + 1
+    g = MinimizerGraph(hashes, eu, ev, np.ones(n - 1, dtype=np.int32))
+
+    class _Det:
+        pass
+
+    det = _Det()
+    det.graph = g
+    det.params = SyntenyParams(k=24, w=1000, prefix="stress-erosion")
+    flagged = (hashes[eu], hashes[ev])  # every edge flagged (1M+ pairs)
+
+    t0 = time.perf_counter()
+    SyntenyDetector.refine_graph_erosion(det, flagged)
+    w1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    SyntenyDetector.refine_graph_erosion(det, flagged)
+    w2 = time.perf_counter() - t0
+    warm = min(w1, w2)
+    # vectorized pre-filter = a few passes over 2M-element arrays; the
+    # old per-pair Python loop took >1 min at this scale. Generous
+    # absolute bound (this VM fault-throttles; warm rerun pattern).
+    assert warm < 10.0, f"erosion pre-filter took {warm:.1f}s for 2M flagged pairs"
+    assert det.graph.n_edges == n - 1  # nothing eligible -> nothing removed
+    print(f"erosion pre-filter 2M pairs: {w1:.2f}/{w2:.2f}s")
