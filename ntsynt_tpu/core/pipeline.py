@@ -212,12 +212,17 @@ class NtSyntTPU:
         # One host->device upload per genome, shared by the BF builders
         # and the sketcher (uploads run ~30-45 MB/s over the device
         # tunnel; BF build + sketch each uploading their own copy used
-        # to double that cost).
+        # to double that cost). The upload is CHUNK-PIPELINED: the BF
+        # cascade consumes the stream in groups, so each group's pack +
+        # transfer overlaps the previous group's insert dispatches —
+        # this is what hides the FIRST genome's upload, which nothing
+        # else can cover (later genomes already hide under the previous
+        # level's async dispatch).
         prepared = {}
 
         def _prepared(name):
             if name not in prepared:
-                prepared[name] = sketch_ops.prepare_shared_stream(
+                prepared[name] = sketch_ops.ChunkedSharedStream(
                     genomes[name], cfg.k, cfg.w,
                     seg_windows=cfg.chunk, bf_chunk=bf_build.DEFAULT_CHUNK,
                 )
@@ -264,7 +269,8 @@ class NtSyntTPU:
                         )
                     else:
                         entries = [
-                            (n, lambda n=n: _prepared(n)[2:4]) for n in ordered_names
+                            (n, lambda n=n: ("chunked", _prepared(n).bf_groups()))
+                            for n in ordered_names
                         ]
                         # gigabase genomes: drop device code buffers as
                         # their cascade level is dispatched ONLY when the
@@ -370,11 +376,12 @@ class NtSyntTPU:
                     genomes[name], cfg.k, cfg.w,
                     common_bf=common_bf, repeat_bf=sketch_repeat,
                 )
-            stream, legit, dev_buf, _ = _prepared(name)
+            cs = _prepared(name)
+            cs.ensure_assembled()  # no-op after the BF walk consumed it
             return sketch_ops.sketch_genome_dispatch(
                 genomes[name], cfg.k, cfg.w,
                 common_bf=common_bf, repeat_bf=sketch_repeat,
-                chunk=cfg.chunk, prepared=(stream, legit, dev_buf),
+                chunk=cfg.chunk, prepared=(cs.stream, cs.legit, cs.dev_buf),
             )
 
         def _collect(handle):

@@ -87,34 +87,15 @@ def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
     return run
 
 
-@functools.lru_cache(maxsize=None)
-def _cascade_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
-    """Insert the genome's own k-mer set, then AND with the previous
-    level. For a 1-hash Bloom filter this is bit-for-bit equal to the
-    reference's per-k-mer insert-if-present
-    (src/ntsynt_make_common_bf.cpp:140-160): bit b is set in the next
-    level iff some k-mer h of this genome has bit(h) == b and
-    prev.contains(h) — and prev.contains(h) IS prev[b] when bit(h) == b.
-    The dense AND streams both filters at HBM bandwidth (~1 ms for
-    512 MB) where the probe formulation paid one serialized gather per
-    k-mer (~75 M/s, ~28 ms per 2^21-k-mer segment — the dominant
-    cascade cost)."""
-
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def run(codes_buf, n_segs, prev_words, new_words):
-        def body(i, new_words):
-            hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
-            if sweep is None:
-                return bloom.insert_words(new_words, hi, lo, valid, bits_log2)
-            return bf_sweep.insert_segment(
-                new_words, hi, lo, valid, bits_log2,
-                interpret=(sweep == "interpret"),
-            )
-
-        own = jax.lax.fori_loop(0, n_segs, body, new_words)
-        return own & prev_words
-
-    return run
+# NOTE on cascade semantics: each level inserts the genome's own k-mer
+# set, then ANDs with the previous level. For a 1-hash Bloom filter
+# this is bit-for-bit equal to the reference's per-k-mer
+# insert-if-present (src/ntsynt_make_common_bf.cpp:140-160): bit b is
+# set in the next level iff some k-mer h of this genome has bit(h) == b
+# and prev.contains(h) — and prev.contains(h) IS prev[b] when
+# bit(h) == b. The dense AND streams both filters at HBM bandwidth
+# (~ms) where the probe formulation paid one serialized gather per
+# k-mer (~75 M elem/s — the dominant cascade cost before this).
 
 
 def repeat_segment_update(rep, seen, hi, lo, valid, bits_log2: int):
@@ -154,6 +135,41 @@ def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
         return jax.lax.fori_loop(0, n_segs, body, (rep_words, seen_words))
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _and_fn():
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(a, b):
+        return a & b
+
+    return run
+
+
+def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words):
+    """Insert one genome's k-mer stream into ``words``.
+
+    payload is either (dev_buf, n_segs) — one fori dispatch over the
+    whole stream — or ("chunked", iterator of (group_buf, n_segs)) from
+    sketch.ChunkedSharedStream.bf_groups(): one dispatch per group, so
+    group g+1's host pack + upload overlap group g's device inserts
+    (H2D transfers overlap queued compute on the tunnel — measured,
+    scratch/tpu_overlap_micro.py). Segment order is identical either
+    way => bit-identical filters."""
+    if isinstance(payload, tuple) and len(payload) == 2 and payload[0] == "chunked":
+        fn = None
+        for grp_buf, n_segs in payload[1]:
+            if n_segs <= 0:
+                continue
+            if fn is None:
+                fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
+            words = fn(grp_buf, jnp.int32(n_segs), words)
+        return words
+    dev_buf, n_segs = payload
+    if n_segs > 0:
+        fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
+        words = fn(dev_buf, jnp.int32(n_segs), words)
+    return words
 
 
 @jax.jit
@@ -210,16 +226,20 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
 
     Args:
       entries: ordered [(name, get) ...] where get() -> (dev_buf uint8,
-        n_segs int), OR [(name, dev_buf, n_segs) ...] — already in the
-        reference's deterministic lexicographic-path order
+        n_segs int) or -> ("chunked", group iterator) from
+        sketch.ChunkedSharedStream.bf_groups(), OR
+        [(name, dev_buf, n_segs) ...] — already in the reference's
+        deterministic lexicographic-path order
         (src/ntsynt_make_common_bf.cpp:105-107). The callable form lets
         the caller overlap each genome's host-side stream build/pack
-        with the previous level's (async) device dispatch. Each buffer
-        must hold at least ``n_segs * chunk + k - 1`` codes; k-mers
-        containing non-ACGT codes (contig separators, padding) hash
-        invalid and are skipped, so any stream layout with >= k-1
-        separator codes between contigs inserts exactly the genome's
-        k-mer set.
+        with the previous level's (async) device dispatch; the chunked
+        form additionally interleaves one genome's own uploads with its
+        own insert dispatches (hides the FIRST genome's upload, which
+        nothing else can cover). Each buffer must hold at least
+        ``n_segs * chunk + k - 1`` codes; k-mers containing non-ACGT
+        codes (contig separators, padding) hash invalid and are
+        skipped, so any stream layout with >= k-1 separator codes
+        between contigs inserts exactly the genome's k-mer set.
       release: optional callable(name) invoked right after a genome's
         level has been dispatched — the caller drops its reference to
         that genome's code buffer so HBM frees as soon as the queued
@@ -236,29 +256,25 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     def resolve(e):
         if len(e) == 2:
             name, get = e
-            buf, n_segs = get()
-            return name, buf, n_segs
-        return e
+            return name, get()
+        return e[0], (e[1], e[2])
 
     sweep = _sweep_mode(bits_log2)
     levels = []
     bf = bloom.DeviceBloomFilter(num_bits, k)
-    name0, buf0, n_segs0 = resolve(entries[0])
-    if n_segs0 > 0:
-        fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
-        bf.words = fn(buf0, jnp.int32(n_segs0), bf.words)
-    del buf0
+    name0, payload0 = resolve(entries[0])
+    bf.words = _walk_entry(payload0, k, chunk, bits_log2, sweep, bf.words)
+    del payload0
     if release is not None:
         release(name0)
     levels.append((name0, _popcount_partials(bf.words)))
 
     for e in entries[1:]:
-        name, buf, n_segs = resolve(e)
+        name, payload = resolve(e)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
-        if n_segs > 0:
-            fn = _cascade_stream_fn(k, chunk, bits_log2, sweep)
-            nxt.words = fn(buf, jnp.int32(n_segs), bf.words, nxt.words)
-        del buf
+        nxt.words = _walk_entry(payload, k, chunk, bits_log2, sweep, nxt.words)
+        nxt.words = _and_fn()(nxt.words, bf.words)
+        del payload
         if release is not None:
             release(name)
         bf = nxt

@@ -446,6 +446,128 @@ def prepare_shared_stream(genome, k: int, w: int, seg_windows: int = DEFAULT_CHU
     return stream, legit, dev_buf, n_segs_bf
 
 
+def _pack2_nbits(buf: np.ndarray):
+    """Planar 2-bit pack + N-bitmap of a code buffer (native OpenMP pass
+    when available, numpy otherwise)."""
+    from ..io import fasta as fio
+
+    lib = fio._native_lib()
+    if lib is not None and hasattr(lib, "fastaio_pack2_nbits") and len(buf) % 8 == 0:
+        packed2 = np.empty(len(buf) // 4, dtype=np.uint8)
+        nbits = np.empty(len(buf) // 8, dtype=np.uint8)
+        lib.fastaio_pack2_nbits(
+            buf.ctypes.data, len(buf), packed2.ctypes.data, nbits.ctypes.data, 0
+        )
+        return packed2, nbits
+    return _pack_stream_host(buf), _pack_nbits_host(buf)
+
+
+@functools.lru_cache(maxsize=None)
+def _dus_fn(total: int, glen: int, keep: int):
+    """Write a group's first ``keep`` codes into the assembled buffer."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(big, grp, off):
+        return jax.lax.dynamic_update_slice(big, grp[:keep], (off,))
+
+    return run
+
+
+class ChunkedSharedStream:
+    """Chunk-pipelined shared code stream.
+
+    prepare_shared_stream uploads a genome's whole packed stream before
+    anything can be dispatched on it, which leaves the FIRST genome's
+    upload (~9 s/Gbp over the 30-70 MB/s tunnel) fully serial — nothing
+    is queued ahead of it (later genomes' uploads already hide under the
+    previous cascade level's async dispatch). This class slices the
+    stream into groups of ``group_segs`` BF segments and exposes them as
+    an iterator: the BF builder dispatches each group's inserts as it
+    arrives, so group g+1's host pack + H2D transfer overlap group g's
+    device inserts (transfers overlap queued compute on this tunnel —
+    measured, scratch/tpu_overlap_micro.py). Each group is also
+    dynamic-update-sliced into one assembled device buffer that then
+    serves the sketcher exactly like prepare_shared_stream's dev_buf.
+    Group walk order matches the monolithic fori segment order, so the
+    resulting filters are bit-identical.
+    """
+
+    def __init__(self, genome, k: int, w: int, seg_windows: int = DEFAULT_CHUNK,
+                 bf_chunk: int | None = None, codes: np.ndarray | None = None,
+                 group_segs: int = 8):
+        from . import bf_build
+        from .sketch_device import DeviceSketcher
+
+        if bf_chunk is None:
+            bf_chunk = bf_build.DEFAULT_CHUNK
+        self.k, self.w = k, w
+        self.bf_chunk = bf_chunk
+        self.stream = _Stream(genome, k, w, codes=codes)
+        self.legit = self.stream.legit_windows()
+        n_kmers = max(self.stream.total - k + 1, 0)
+        self.n_segs_bf = bf_build.stream_segments(n_kmers, bf_chunk)
+        self.group_segs = max(min(group_segs, self.n_segs_bf), 1)
+        self.n_groups = -(-max(self.n_segs_bf, 1) // self.group_segs)
+        need = max(
+            DeviceSketcher.required_len(len(self.legit), k, w, seg_windows),
+            self.n_groups * self.group_segs * bf_chunk + k - 1,
+            self.stream.total,
+            1,
+        )
+        bucket = max(1 << 23, 1 << (max(need - 1, 1).bit_length() - 4))
+        self.need = -(-need // bucket) * bucket
+        glen = self.group_segs * bf_chunk + k - 1
+        self.glen = -(-glen // 8) * 8  # pack alignment
+        self._big = None
+        self._next_group = 0
+
+    @property
+    def dev_buf(self):
+        assert self._next_group >= self.n_groups, "groups not fully consumed"
+        return self._big
+
+    def _upload_group(self, g: int):
+        """Pack + upload group g, fold it into the assembled buffer, and
+        return (group device buffer, segments in the group)."""
+        if self._big is None:
+            # separator code 4 everywhere (device fill, no host buffer)
+            self._big = jnp.full(self.need, jnp.uint8(4))
+        a = g * self.group_segs * self.bf_chunk
+        buf = self.stream.slice(a, a + self.glen)
+        if len(buf) < self.glen:
+            buf = np.concatenate(
+                [buf, np.full(self.glen - len(buf), 4, np.uint8)]
+            )
+        packed2, isn = _pack2_nbits(buf)
+        grp = _unpack_stream_fn(self.glen)(jnp.asarray(packed2), jnp.asarray(isn))
+        keep = min(self.group_segs * self.bf_chunk, self.need - a)
+        self._big = _dus_fn(self.need, self.glen, keep)(
+            self._big, grp, jnp.int32(a)
+        )
+        n_segs = min(self.group_segs, self.n_segs_bf - g * self.group_segs)
+        return grp, max(n_segs, 0)
+
+    def bf_groups(self):
+        """Iterator of (group codes device buffer, n_segments) for the
+        BF cascade walk. Must be consumed in order and exactly once."""
+        assert self._next_group == 0, "bf_groups already consumed"
+        for g in range(self.n_groups):
+            self._next_group = g + 1
+            yield self._upload_group(g)
+
+    def ensure_assembled(self):
+        """Consume any remaining groups (upload + assemble only) so
+        dev_buf is complete — the path taken when the BF stage was
+        skipped (artifact reuse, --no-common)."""
+        while self._next_group < self.n_groups:
+            g = self._next_group
+            self._next_group = g + 1
+            self._upload_group(g)
+        if self._big is None:
+            self._big = jnp.full(self.need, jnp.uint8(4))
+        return self._big
+
+
 NUMPY_MAX_WINDOWS = 1 << 21  # auto-use the host engine below this size
 
 

@@ -170,3 +170,37 @@ def test_pow2_bits_hbm_cap():
     assert bloom.pow2_bits(int(1.19e11), max_log2=35) == 1 << 35
     assert bloom.pow2_bits(int(3.95e9)) == 1 << 32
     assert bloom.pow2_bits(10) == 1 << 16
+
+
+def test_common_bf_chunked_stream_bit_equal(genomes):
+    """The chunk-pipelined upload walk (ChunkedSharedStream.bf_groups)
+    must produce a BF bit-identical to the monolithic build, and its
+    assembled device buffer must equal the stream codes."""
+    import jax.numpy as jnp
+
+    from ntsynt_tpu.ops import sketch as sketch_ops
+
+    k, w, chunk = 20, 11, 1 << 13
+    direct = bf_build.build_common_bf(genomes, k, fpr=0.025, chunk=chunk)
+    streams = {}
+
+    def entry(g):
+        cs = sketch_ops.ChunkedSharedStream(
+            g, k, w, seg_windows=1 << 10, bf_chunk=chunk, group_segs=2
+        )
+        streams[g.name] = cs
+        return "chunked", cs.bf_groups()
+
+    entries = [
+        (g.name, lambda g=g: entry(g)) for g in sorted(genomes, key=lambda g: g.path)
+    ]
+    shared = bf_build.build_common_bf_from_device(
+        entries, k, direct.num_bits, chunk=chunk
+    )
+    assert (np.asarray(direct.words) == np.asarray(shared.words)).all()
+    for g in genomes:
+        cs = streams[g.name]
+        got = np.asarray(cs.dev_buf)
+        want = cs.stream.codes
+        assert (got[: len(want)] == want).all()
+        assert (got[len(want):] == 4).all()  # padding stays separator

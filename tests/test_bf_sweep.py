@@ -142,12 +142,9 @@ def test_build_common_bf_sweep_interpret(monkeypatch, tmp_path):
     genomes = [read_fasta(p) for p in paths]
 
     bf_build._insert_stream_fn.cache_clear()
-    bf_build._cascade_stream_fn.cache_clear()
     bf = bf_build.build_common_bf(genomes, k=24, fpr=0.025, chunk=1 << 14)
     monkeypatch.delenv("NTSYNT_BF_SWEEP")
     bf_build._insert_stream_fn.cache_clear()
-    bf_build._cascade_stream_fn.cache_clear()
     bf_plain = bf_build.build_common_bf(genomes, k=24, fpr=0.025, chunk=1 << 14)
     np.testing.assert_array_equal(np.asarray(bf.words), np.asarray(bf_plain.words))
     bf_build._insert_stream_fn.cache_clear()
-    bf_build._cascade_stream_fn.cache_clear()
