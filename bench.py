@@ -63,7 +63,30 @@ def _write_fasta(path: str, g: np.ndarray, step: int = 80):
 def make_genomes(tmp, n_genomes: int, length: int):
     """Genome A + (n-1) mutated copies. Every copy gets 0.1% SNPs; copy 1
     additionally carries a length/2000-sized inversion (50 kb at 100 Mbp,
-    500 kb at 1 Gbp) whose detection is asserted."""
+    500 kb at 1 Gbp) whose detection is asserted.
+
+    Deterministic (fixed seed), so repeated bench invocations reuse a
+    cached copy: generating 3x1 Gbp costs 2.5-15 min of host wall on
+    the dev VM (fault-throttle dependent), paid once per shape. The
+    cache lives outside the per-run tmp dir; runs symlink into it.
+    """
+    cache = f"/tmp/ntsynt_bench_genomes_{n_genomes}x{length}"
+    done = os.path.join(cache, ".done")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        _gen_genomes(cache, n_genomes, length)
+        with open(done, "w") as f:
+            f.write("ok\n")
+    paths = []
+    for gi in range(n_genomes):
+        name = f"bench{chr(ord('A') + gi)}.fa"
+        dst = os.path.join(tmp, name)
+        os.symlink(os.path.join(cache, name), dst)
+        paths.append(dst)
+    return paths
+
+
+def _gen_genomes(tmp, n_genomes: int, length: int):
     rng = np.random.default_rng(20260817)
     base = rng.integers(0, 4, length, dtype=np.uint8)
     paths = []
