@@ -71,13 +71,15 @@ def _segment_hashes(codes_buf, i, k: int, chunk: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
+def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None, place=None):
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(codes_buf, n_segs, words):
         def body(i, words):
             hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
             if sweep is None:
-                return bloom.insert_words(words, hi, lo, valid, bits_log2)
+                return bloom.insert_words(
+                    words, hi, lo, valid, bits_log2, place=place or False
+                )
             return bf_sweep.insert_segment(
                 words, hi, lo, valid, bits_log2, interpret=(sweep == "interpret")
             )
@@ -98,7 +100,7 @@ def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None):
 # k-mer (~75 M elem/s — the dominant cascade cost before this).
 
 
-def repeat_segment_update(rep, seen, hi, lo, valid, bits_log2: int):
+def repeat_segment_update(rep, seen, hi, lo, valid, bits_log2: int, place=None):
     """One segment of the repeat-BF walk (traceable, shared by the
     single-chip _repeat_stream_fn and the mesh
     parallel/mesh._sharded_repeat_level_fn so the bit-exactness-critical
@@ -118,19 +120,23 @@ def repeat_segment_update(rep, seen, hi, lo, valid, bits_log2: int):
         ]
     )
     first = jnp.zeros(n, dtype=bool).at[s_idx].set(~dup_prev)
-    rep = bloom.insert_words(rep, hi, lo, valid & (already | ~first), bits_log2)
-    seen = bloom.insert_words(seen, hi, lo, valid, bits_log2)
+    rep = bloom.insert_words(
+        rep, hi, lo, valid & (already | ~first), bits_log2, place=place
+    )
+    seen = bloom.insert_words(seen, hi, lo, valid, bits_log2, place=place)
     return rep, seen
 
 
 @functools.lru_cache(maxsize=None)
-def _repeat_stream_fn(k: int, chunk: int, bits_log2: int):
+def _repeat_stream_fn(k: int, chunk: int, bits_log2: int, place=None):
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def run(codes_buf, n_segs, rep_words, seen_words):
         def body(i, carry):
             rep, seen = carry
             hi, lo, valid = _segment_hashes(codes_buf, i, k, chunk)
-            return repeat_segment_update(rep, seen, hi, lo, valid, bits_log2)
+            return repeat_segment_update(
+                rep, seen, hi, lo, valid, bits_log2, place=place or False
+            )
 
         return jax.lax.fori_loop(0, n_segs, body, (rep_words, seen_words))
 
@@ -146,7 +152,7 @@ def _and_fn():
     return run
 
 
-def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words):
+def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words, place=None):
     """Insert one genome's k-mer stream into ``words``.
 
     payload is either (dev_buf, n_segs) — one fori dispatch over the
@@ -162,12 +168,12 @@ def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words):
             if n_segs <= 0:
                 continue
             if fn is None:
-                fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
+                fn = _insert_stream_fn(k, chunk, bits_log2, sweep, place)
             words = fn(grp_buf, jnp.int32(n_segs), words)
         return words
     dev_buf, n_segs = payload
     if n_segs > 0:
-        fn = _insert_stream_fn(k, chunk, bits_log2, sweep)
+        fn = _insert_stream_fn(k, chunk, bits_log2, sweep, place)
         words = fn(dev_buf, jnp.int32(n_segs), words)
     return words
 
@@ -259,11 +265,14 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
             return name, get()
         return e[0], (e[1], e[2])
 
+    from . import bf_place
+
     sweep = _sweep_mode(bits_log2)
+    place = bf_place.resolve(bits_log2, chunk)
     levels = []
     bf = bloom.DeviceBloomFilter(num_bits, k)
     name0, payload0 = resolve(entries[0])
-    bf.words = _walk_entry(payload0, k, chunk, bits_log2, sweep, bf.words)
+    bf.words = _walk_entry(payload0, k, chunk, bits_log2, sweep, bf.words, place)
     del payload0
     if release is not None:
         release(name0)
@@ -272,7 +281,7 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     for e in entries[1:]:
         name, payload = resolve(e)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
-        nxt.words = _walk_entry(payload, k, chunk, bits_log2, sweep, nxt.words)
+        nxt.words = _walk_entry(payload, k, chunk, bits_log2, sweep, nxt.words, place)
         nxt.words = _and_fn()(nxt.words, bf.words)
         del payload
         if release is not None:
@@ -309,10 +318,12 @@ def build_common_bf(genomes, k: int, fpr: float = 0.025, bf_bytes=None, chunk: i
 def build_repeat_bf(genomes, k: int, fpr: float = 0.01, bf_bytes=None, chunk: int = DEFAULT_CHUNK):
     """BF of k-mers with multiplicity >= 2 within any single genome
     (bin/ntsynt_make_repeat_bfs.py:56-67). One dispatch per genome."""
+    from . import bf_place
+
     num_bits = bf_size_bits(genomes, fpr, bf_bytes)
     bits_log2 = num_bits.bit_length() - 1
     rep = bloom.DeviceBloomFilter(num_bits, k)
-    fn = _repeat_stream_fn(k, chunk, bits_log2)
+    fn = _repeat_stream_fn(k, chunk, bits_log2, bf_place.resolve(bits_log2, chunk))
     for genome in genomes:
         buf, n_segs = _stream_buffer(genome, k, chunk)
         if buf is None:
