@@ -71,6 +71,62 @@ def _segment_hashes(codes_buf, i, k: int, chunk: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _insert_stream_grouped_fn(k: int, chunk: int, bits_log2: int, place, group: int):
+    """Pooled insert: each fori step hashes ``group`` consecutive
+    segments and feeds ONE 8x-bigger insert_words call. The placement
+    kernel (ops/bf_place) amortizes its filter-streaming DMA, grid
+    overhead and per-unit window padding over the pooled keys; filters
+    are bit-identical to per-segment inserts because an insert's effect
+    is the pure OR-union of its valid keys' bits (segmentation cannot
+    change the union). Segments past n_segs clamp their slice and mask
+    all lanes invalid."""
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(codes_buf, n_segs, words):
+        def body(g, words):
+            his, los, vals = [], [], []
+            for s in range(group):
+                i = g * group + s
+                ic = jnp.minimum(i, n_segs - 1)
+                hi, lo, valid = _segment_hashes(codes_buf, ic, k, chunk)
+                his.append(hi)
+                los.append(lo)
+                vals.append(valid & (i < n_segs))
+            return bloom.insert_words(
+                words,
+                jnp.concatenate(his),
+                jnp.concatenate(los),
+                jnp.concatenate(vals),
+                bits_log2,
+                place=place or False,
+            )
+
+        return jax.lax.fori_loop(0, -(-n_segs // group), body, words)
+
+    return run
+
+
+def pick_group(bits_log2: int, chunk: int):
+    """Pooled-segment count for the placement kernel: (group, mode).
+    group == 1 / mode None means the per-segment scatter path.
+
+    Pooling is capped at 2^24 keys: the pair sort's rate decays with
+    size (measured v5e: 387 M elem/s at 2^23 -> 261 at 2^26) and eats
+    the kernel's amortization beyond that — pooled place measured
+    171 M elem/s at 2^24 vs 166 at 2^25/2^26 and 137 unpooled
+    (scratch/tpu_place_micro.py)."""
+    from . import bf_place
+
+    for g in (8, 4, 2, 1):
+        if g * chunk > (1 << 24):
+            continue
+        m = bf_place.resolve(bits_log2, g * chunk)
+        if m:
+            return g, m
+    return 1, None
+
+
+@functools.lru_cache(maxsize=None)
 def _insert_stream_fn(k: int, chunk: int, bits_log2: int, sweep=None, place=None):
     @functools.partial(jax.jit, donate_argnums=(2,))
     def run(codes_buf, n_segs, words):
@@ -152,7 +208,8 @@ def _and_fn():
     return run
 
 
-def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words, place=None):
+def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words, place=None,
+                group: int = 1):
     """Insert one genome's k-mer stream into ``words``.
 
     payload is either (dev_buf, n_segs) — one fori dispatch over the
@@ -162,19 +219,23 @@ def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words, place
     (H2D transfers overlap queued compute on the tunnel — measured,
     scratch/tpu_overlap_micro.py). Segment order is identical either
     way => bit-identical filters."""
+    def get_fn():
+        if group > 1:
+            return _insert_stream_grouped_fn(k, chunk, bits_log2, place, group)
+        return _insert_stream_fn(k, chunk, bits_log2, sweep, place)
+
     if isinstance(payload, tuple) and len(payload) == 2 and payload[0] == "chunked":
         fn = None
         for grp_buf, n_segs in payload[1]:
             if n_segs <= 0:
                 continue
             if fn is None:
-                fn = _insert_stream_fn(k, chunk, bits_log2, sweep, place)
+                fn = get_fn()
             words = fn(grp_buf, jnp.int32(n_segs), words)
         return words
     dev_buf, n_segs = payload
     if n_segs > 0:
-        fn = _insert_stream_fn(k, chunk, bits_log2, sweep, place)
-        words = fn(dev_buf, jnp.int32(n_segs), words)
+        words = get_fn()(dev_buf, jnp.int32(n_segs), words)
     return words
 
 
@@ -265,14 +326,12 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
             return name, get()
         return e[0], (e[1], e[2])
 
-    from . import bf_place
-
     sweep = _sweep_mode(bits_log2)
-    place = bf_place.resolve(bits_log2, chunk)
+    group, place = pick_group(bits_log2, chunk)
     levels = []
     bf = bloom.DeviceBloomFilter(num_bits, k)
     name0, payload0 = resolve(entries[0])
-    bf.words = _walk_entry(payload0, k, chunk, bits_log2, sweep, bf.words, place)
+    bf.words = _walk_entry(payload0, k, chunk, bits_log2, sweep, bf.words, place, group)
     del payload0
     if release is not None:
         release(name0)
@@ -281,7 +340,9 @@ def build_common_bf_from_device(entries, k: int, num_bits: int, chunk: int = DEF
     for e in entries[1:]:
         name, payload = resolve(e)
         nxt = bloom.DeviceBloomFilter(num_bits, k)
-        nxt.words = _walk_entry(payload, k, chunk, bits_log2, sweep, nxt.words, place)
+        nxt.words = _walk_entry(
+            payload, k, chunk, bits_log2, sweep, nxt.words, place, group
+        )
         nxt.words = _and_fn()(nxt.words, bf.words)
         del payload
         if release is not None:

@@ -34,11 +34,11 @@ def prng_keys(i, n, salt=0):
     return x
 
 
-def insert_body(place):
+def insert_body(place, n=N):
     def body(i, w):
-        hi = prng_keys(i, N)
-        lo = prng_keys(i, N, salt=7919)
-        valid = (prng_keys(i, N, salt=31337) & jnp.uint32(31)) != 0  # ~97%
+        hi = prng_keys(i, n)
+        lo = prng_keys(i, n, salt=7919)
+        valid = (prng_keys(i, n, salt=31337) & jnp.uint32(31)) != 0  # ~97%
         return bloom.insert_words(w, hi, lo, valid, LGB, scratch=True, place=place)
 
     return body
@@ -66,7 +66,7 @@ def check_correctness():
     assert mism == 0, "PLACEMENT KERNEL MISMATCH"
 
 
-def diff_rate(name, body, k1=3, k2=11):
+def diff_rate(name, body, k1=3, k2=11, n=N):
     nw = (1 << LGB) // 32
 
     @jax.jit
@@ -92,7 +92,7 @@ def diff_rate(name, body, k1=3, k2=11):
 
     t1, t2 = wall(k1), wall(k2)
     per = (t2 - t1) / (k2 - k1)
-    rate = N / per / 1e6 if per > 0 else float("inf")
+    rate = n / per / 1e6 if per > 0 else float("inf")
     print(f"{name}: {per*1000:.2f} ms/iter ({rate:.0f} M elem/s)", flush=True)
     return per
 
@@ -131,6 +131,35 @@ def main():
     check_correctness()
     diff_rate("insert scatter 2^34 seg 2^23", insert_body(False))
     diff_rate("insert place   2^34 seg 2^23", insert_body("tpu"))
+    for lg in (24, 25, 26):
+        n = 1 << lg
+        diff_rate(
+            f"insert place   2^34 pooled 2^{lg}", insert_body("tpu", n),
+            k1=1, k2=3, n=n,
+        )
+
+    # isolated sort costs (result folded into the carry via a max so the
+    # sort cannot be DCE'd; rates include nothing else)
+    def sort_pair(n):
+        def body(i, w):
+            word = prng_keys(i, n).astype(jnp.int32)
+            mask = prng_keys(i, n, salt=7919)
+            sw, sm = jax.lax.sort((word, mask), num_keys=1)
+            return w.at[0].max(sw[0].astype(jnp.uint32) ^ sm[0])
+
+        return body
+
+    def sort_single(n):
+        def body(i, w):
+            key = jax.lax.sort(prng_keys(i, n))
+            return w.at[0].max(key[0])
+
+        return body
+
+    for lg in (23, 24, 25, 26):
+        n = 1 << lg
+        diff_rate(f"pair sort 2^{lg}", sort_pair(n), k1=1, k2=5, n=n)
+        diff_rate(f"u32  sort 2^{lg}", sort_single(n), k1=1, k2=5, n=n)
 
 
 if __name__ == "__main__":
