@@ -110,15 +110,17 @@ def pick_group(bits_log2: int, chunk: int):
     """Pooled-segment count for the placement kernel: (group, mode).
     group == 1 / mode None means the per-segment scatter path.
 
-    Pooling is capped at 2^24 keys: the pair sort's rate decays with
-    size (measured v5e: 387 M elem/s at 2^23 -> 261 at 2^26) and eats
-    the kernel's amortization beyond that — pooled place measured
-    171 M elem/s at 2^24 vs 166 at 2^25/2^26 and 137 unpooled
-    (scratch/tpu_place_micro.py)."""
+    Pooling is capped at 2^26 keys: with the kernel's in-window dedup
+    the pooled place rate RISES with size (measured v5e, 2^34 bits:
+    151 M elem/s at 2^24, 177 at 2^25, 196 at 2^26 vs 100 scatter —
+    scratch/tpu_place_micro.py) because the fixed per-unit window work
+    amortizes over more keys, while the pair sort's decay (387 M
+    elem/s at 2^23 -> 261 at 2^26) plus the density cap
+    (bf_place.MAX_MEAN_STEP) bound the useful pool size."""
     from . import bf_place
 
     for g in (8, 4, 2, 1):
-        if g * chunk > (1 << 24):
+        if g * chunk > (1 << 26):
             continue
         m = bf_place.resolve(bits_log2, g * chunk)
         if m:

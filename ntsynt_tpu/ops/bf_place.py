@@ -147,6 +147,49 @@ def _byte_bf16(x, p):
     )
 
 
+def _rm_shift_right(x, s: int, fill, tkrows: int):
+    """Row-major shift toward higher positions by s (a power of two <
+    128 or a multiple of 128) over a (tkrows, 128) window: out[p] =
+    x[p - s], with `fill` beyond the window head."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tkrows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tkrows, 128), 1)
+    if s % 128 == 0:
+        m = s // 128
+        if m >= tkrows:
+            return jnp.full((tkrows, 128), fill, x.dtype)
+        return jnp.where(row >= m, pltpu.roll(x, m, 0), fill)
+    lane_rolled = pltpu.roll(x, s, 1)
+    up_rolled = pltpu.roll(pltpu.roll(x, 1, 0), s, 1)
+    v = jnp.where(lane >= s, lane_rolled, up_rolled)
+    return jnp.where((row == 0) & (lane < s), fill, v)
+
+
+def _window_dedup(kw_u, km_u, tkrows: int):
+    """In-window segmented OR + run-last dedup over the row-major
+    sorted (word, mask) window: each distinct word's LAST entry ends up
+    carrying the OR of the run's masks, every other entry 0 — exactly
+    the caller-side dedup the one-hot byte sums require. Runs never
+    cross unit boundaries (the word determines the unit) and the
+    per-unit count guard bounds every placed run inside the window, so
+    log2(window) doubling steps always cover the full run."""
+    mv = km_u
+    s = 1
+    while s < tkrows * 128:
+        pw = _rm_shift_right(kw_u, s, jnp.int32(-1), tkrows)
+        pm = _rm_shift_right(mv, s, jnp.uint32(0), tkrows)
+        mv = mv | jnp.where(kw_u == pw, pm, jnp.uint32(0))
+        s <<= 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (tkrows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tkrows, 128), 1)
+    nxt = jnp.where(
+        lane < 127,
+        pltpu.roll(kw_u, 127, 1),
+        pltpu.roll(pltpu.roll(kw_u, tkrows - 1, 0), 127, 1),
+    )
+    nxt = jnp.where((row == tkrows - 1) & (lane == 127), jnp.int32(-2), nxt)
+    return jnp.where(kw_u != nxt, mv, jnp.uint32(0))
+
+
 def _place_kernel(n_steps: int, log2ns: int, krows: int, tkrows: int,
                   slack: int, max_r0: int):
     limit = (tkrows - 1) * 128
@@ -177,7 +220,7 @@ def _place_kernel(n_steps: int, log2ns: int, krows: int, tkrows: int,
             over = jnp.maximum(over, ((cb[j + 1] - cb[j]) > limit).astype(jnp.int32))
             lr = jnp.minimum(cb[j] >> 7, krows - tkrows)
             kw_u = kw_s[pl.ds(lr, tkrows), :]
-            km_u = km_s[pl.ds(lr, tkrows), :]
+            km_u = _window_dedup(kw_u, km_s[pl.ds(lr, tkrows), :], tkrows)
             rel = kw_u - (step_base + j * UNIT_WORDS)
             hi = rel >> 7       # arithmetic: out-of-unit keys match no row
             lane = rel & 127
@@ -248,24 +291,24 @@ def _place_call(n_rows: int, padded_rows: int, n_steps: int, log2ns: int,
     )
 
 
-def place_sorted(words, word_s, mask_eff, n_valid, bits_log2: int,
+def place_sorted(words, word_s, mask_raw, n_valid, bits_log2: int,
                  interpret: bool = False):
-    """OR a sorted deduped (word, mask) run list into the filter words.
+    """OR a sorted (word, mask) run list into the filter words.
 
     Args:
-      words: (n_words/32... ) flat uint32 filter word array.
+      words: flat uint32 filter word array.
       word_s: (n,) int32 word indices, ascending (sentinels = n_words
         sorted to the tail; duplicate-word entries allowed).
-      mask_eff: (n,) uint32 OR masks; MUST be 0 for every entry except
-        the single surviving run-end per distinct word (the caller's
-        segmented-OR dedup) — the kernel's byte sums are only exact
-        ORs when each word receives at most one nonzero contribution.
+      mask_raw: (n,) uint32 per-entry single-bit masks, RAW (no caller
+        dedup needed: the kernel ORs each word run in-window and places
+        only the run-last entry, so the one-hot byte sums stay exact).
       n_valid: traced i32 count of non-sentinel entries (the window
-        stride model; dropped duplicates still count — they occupy
-        positions in the sorted stream).
+        stride model; duplicates count — they occupy positions in the
+        sorted stream).
 
-    Falls back to the plain scatter formulation (bit-identical) when
-    the fixed-stride windows cannot cover the key distribution.
+    Falls back to a scatter formulation (with its own segmented-OR
+    dedup; bit-identical) when the fixed-stride windows cannot cover
+    the key distribution.
     """
     n = word_s.shape[0]
     n_words, n_steps, krows, tkrows, padded_rows, slack = _geom(bits_log2, n)
@@ -273,17 +316,28 @@ def place_sorted(words, word_s, mask_eff, n_valid, bits_log2: int,
     max_r0 = padded_rows - krows
 
     nv = n_valid.astype(jnp.int32)
-    # elementwise window-coverage check (mirror of the kernel's _r0)
+    # elementwise window-coverage check (mirror of the kernel's _r0);
+    # with raw masks EVERY non-sentinel entry must be covered (a missed
+    # duplicate would drop its bit from the in-window run OR)
     rowj = jnp.arange(n, dtype=jnp.int32) >> 7
     u = word_s >> np.int32(16)  # STEP_WORDS = 2^16
     r0u = _r0(u, nv, n_steps, log2ns, slack, max_r0)
     covered = (rowj >= r0u) & (rowj < r0u + krows)
-    ov1 = jnp.any(~covered & (mask_eff != 0))
+    ov1 = jnp.any(~covered & (word_s < jnp.int32(n_words)))
 
     def scatter_branch(w):
-        idx = jnp.where(mask_eff != 0, word_s, jnp.int32(n_words))
+        mask = mask_raw
+        shift = 1
+        while shift < n:
+            pw = jnp.concatenate([jnp.full(shift, -1, jnp.int32), word_s[:-shift]])
+            pm = jnp.concatenate([jnp.zeros(shift, jnp.uint32), mask[:-shift]])
+            mask = mask | jnp.where(word_s == pw, pm, jnp.uint32(0))
+            shift <<= 1
+        nxt = jnp.concatenate([word_s[1:], jnp.full(1, -2, jnp.int32)])
+        keep = (word_s != nxt) & (word_s < jnp.int32(n_words))
+        idx = jnp.where(keep, word_s, jnp.int32(n_words))
         z = jnp.zeros(n_words + 1, jnp.uint32)
-        z = z.at[idx].set(mask_eff, mode="drop")
+        z = z.at[idx].set(jnp.where(keep, mask, jnp.uint32(0)), mode="drop")
         return w | z[:-1]
 
     def place_branch(w):
@@ -291,7 +345,7 @@ def place_sorted(words, word_s, mask_eff, n_valid, bits_log2: int,
         kw2 = jnp.concatenate(
             [word_s, jnp.full(pad, n_words, jnp.int32)]
         ).reshape(padded_rows, 128)
-        km2 = jnp.concatenate([mask_eff, jnp.zeros(pad, jnp.uint32)]).reshape(
+        km2 = jnp.concatenate([mask_raw, jnp.zeros(pad, jnp.uint32)]).reshape(
             padded_rows, 128
         )
         call = _place_call(

@@ -230,6 +230,23 @@ def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int, scratch: bool
         mask = jnp.where(valid, mask, jnp.uint32(0))
         word, mask = jax.lax.sort((word, mask), num_keys=1)
         sent_run = word == jnp.int32(n_words)
+    if place is None:
+        from . import bf_place
+
+        place = bf_place.resolve(bits_log2, n)
+    if place:
+        from . import bf_place
+
+        if bf_place.supported(bits_log2, n):
+            # raw sorted (word, mask): the kernel dedups runs in-window
+            # (and its scatter fallback does its own segmented OR), so
+            # the XLA-wide log-step OR below is skipped entirely
+            word_p = jnp.where(sent_run, jnp.int32(n_words), word)
+            n_valid = jnp.sum(valid, dtype=jnp.int32)
+            return bf_place.place_sorted(
+                words, word_p, mask, n_valid, bits_log2,
+                interpret=(place == "interpret"),
+            )
     # segmented OR within runs of equal word index (log-step doubling)
     shift = 1
     while shift < n:
@@ -241,21 +258,6 @@ def insert_words(words, canon_hi, canon_lo, valid, bits_log2: int, scratch: bool
     nxt = jnp.concatenate([word[1:], jnp.full(1, -2, jnp.int32)])
     run_end = word != nxt
     keep = run_end & ~sent_run
-    if place is None:
-        from . import bf_place
-
-        place = bf_place.resolve(bits_log2, n)
-    if place:
-        from . import bf_place
-
-        if bf_place.supported(bits_log2, n):
-            word_p = jnp.where(sent_run, jnp.int32(n_words), word)
-            m_eff = jnp.where(keep, mask, jnp.uint32(0))
-            n_valid = jnp.sum(valid, dtype=jnp.int32)
-            return bf_place.place_sorted(
-                words, word_p, m_eff, n_valid, bits_log2,
-                interpret=(place == "interpret"),
-            )
     scatter_idx = jnp.where(keep, word, jnp.int32(n_words))
     if scratch is None:
         scratch = bits_log2 < 35
