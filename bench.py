@@ -189,10 +189,16 @@ def main():
             )
         runs = []
         best_timer = {}
+        best_wall = float("inf")
         for _ in range(max(args.runs, 1)):
             wall, out = run_once(force=True)
             runs.append(round(wall, 2))
-            if wall <= min(runs):
+            # compare UN-rounded walls: round-4 compared `wall` against
+            # min(runs) of its own 2-dp rounding, which is almost always
+            # strictly smaller, so best_timer stayed empty and the
+            # north-star sketch metric came out null (VERDICT r4 weak #1)
+            if wall < best_wall:
+                best_wall = wall
                 best_timer = dict(last_timer)  # stages of the best run
         e2e_wall = min(runs)
 
@@ -229,7 +235,9 @@ def main():
                     vs_baseline=round(vs_baseline, 2),
                     sketch_gbps_per_chip=sketch_gbps,
                     cache_missed_programs=len(missed),
+                    cache_missed_names=missed,
                     warmup_wall_s=round(warm_wall, 2),
+                    stages={k: round(v, 2) for k, v in best_timer.items()},
                     runs_s=runs,
                     n_measured_runs=len(runs),
                     cache_ok=bool(cache_ok),

@@ -222,7 +222,10 @@ def _walk_entry(payload, k: int, chunk: int, bits_log2: int, sweep, words, place
     scratch/tpu_overlap_micro.py). Segment order is identical either
     way => bit-identical filters."""
     def get_fn():
-        if group > 1:
+        # an explicit sweep request (NTSYNT_BF_SWEEP=tpu|interpret)
+        # takes precedence over bf_place pooling, so the env-gated
+        # sweep kernel is never silently bypassed (ADVICE r4)
+        if group > 1 and sweep is None:
             return _insert_stream_grouped_fn(k, chunk, bits_log2, place, group)
         return _insert_stream_fn(k, chunk, bits_log2, sweep, place)
 

@@ -59,14 +59,19 @@ MAX_MEAN_STEP = 8192                # density cap: keys/step must keep the
 def mode():
     """None (scatter path), "tpu" (compiled kernel) or "interpret"
     (tests). Defaults ON for the TPU backend; NTSYNT_BF_PLACE=0
-    disables, =interpret forces the interpreter (CPU differentials)."""
+    disables, =tpu/=1 forces the compiled path (skips the backend
+    probe), =interpret forces the interpreter (CPU differentials).
+    NTSYNT_NO_PALLAS wins over every NTSYNT_BF_PLACE value so it fully
+    disables Pallas code paths (matches bf_sweep.mode semantics)."""
+    if os.environ.get("NTSYNT_NO_PALLAS"):
+        return None
     env = os.environ.get("NTSYNT_BF_PLACE", "")
     if env in ("0", "off"):
         return None
     if env == "interpret":
         return "interpret"
-    if os.environ.get("NTSYNT_NO_PALLAS"):
-        return None
+    if env in ("tpu", "1"):
+        return "tpu"
     try:
         return "tpu" if jax.default_backend() == "tpu" else None
     except Exception:  # pragma: no cover - backend probing

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import bloom, nthash, winmin
+from ..ops import bf_place, bloom, nthash, winmin
 
 AXIS = "shard"
 
@@ -476,7 +476,7 @@ def sharded_sketch_collect(handle):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_bf_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
-                         bits_log2: int, cascade: bool):
+                         bits_log2: int, cascade: bool, place=False):
     """Per device: insert its slab's k-mers into a local replica (fixed-
     shape segment fori_loop), OR all-reduce across the mesh; cascade
     levels then AND with the previous level (bit-for-bit the reference's
@@ -491,7 +491,11 @@ def _sharded_bf_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
 
         def body(i, words):
             hi, lo, valid = bf_build._segment_hashes(slab, i, k, seg)
-            return bloom.insert_words(words, hi, lo, valid, bits_log2)
+            # place is resolved by the caller and part of this fn's
+            # lru_cache key (insert_words' contract): `or False` keeps
+            # trace-time auto-resolution from ever happening here
+            return bloom.insert_words(words, hi, lo, valid, bits_log2,
+                                      place=place or False)
 
         own = jax.lax.fori_loop(0, n_segs, body, jnp.zeros_like(prev_words))
         own = allreduce_or(own)
@@ -546,8 +550,12 @@ def distributed_common_bf(genomes, k: int, fpr: float = 0.025, mesh=None,
         rows = _slab_rows(stream.slice, stream.total, d, slab_kmers,
                           slab_len - slab_kmers, only_rows=_local_rows(mesh))
         packed2, isn = _pack_rows(rows)
+        # resolve the bf_place mode HERE (env + backend + geometry) so
+        # it is part of the lru_cache key — resolving inside the cached
+        # trace would go stale when NTSYNT_BF_PLACE changes (ADVICE r4)
+        place = bf_place.resolve(bits_log2, seg)
         fn = _sharded_bf_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2,
-                                  cascade=(gi > 0))
+                                  cascade=(gi > 0), place=place)
         prev = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), prev)
     return bloom.DeviceBloomFilter(num_bits, k, words=prev)
 
@@ -587,7 +595,7 @@ def _allreduce_dup(once, axis_name: str = AXIS):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_repeat_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
-                             bits_log2: int):
+                             bits_log2: int, place=False):
     """One genome's repeat-BF contribution, data-parallel over the mesh.
 
     Per device: walk the slab's segments exactly like the single-chip
@@ -612,7 +620,8 @@ def _sharded_repeat_level_fn(mesh, k: int, seg: int, n_segs: int, slab_len: int,
             # duplicate-detection semantics shared with the single-chip
             # builder (ops/bf_build.repeat_segment_update)
             return bf_build.repeat_segment_update(
-                rep, seen, h["canon_hi"], h["canon_lo"], h["valid"], bits_log2
+                rep, seen, h["canon_hi"], h["canon_lo"], h["valid"], bits_log2,
+                place=place or False,
             )
 
         rep0 = jnp.zeros(n_words, jnp.uint32)
@@ -659,7 +668,9 @@ def distributed_repeat_bf(genomes, k: int, fpr: float = 0.01, mesh=None,
         rows = _slab_rows(stream.slice, stream.total, d, slab_kmers,
                           slab_len - slab_kmers, only_rows=_local_rows(mesh))
         packed2, isn = _pack_rows(rows)
-        fn = _sharded_repeat_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2)
+        place = bf_place.resolve(bits_log2, seg)
+        fn = _sharded_repeat_level_fn(mesh, k, seg, n_segs, slab_len, bits_log2,
+                                      place=place)
         rep = fn(_put_sharded(mesh, packed2), _put_sharded(mesh, isn), rep)
     return bloom.DeviceBloomFilter(num_bits, k, words=rep)
 
@@ -698,9 +709,13 @@ def sharded_sketch_step(mesh, k: int, w: int, chunk: int, bits_log2: int):
 
     def local_step(tiles, words):
         args, win_valid, c_hi, c_lo, kvalid = jax.vmap(one_tile)(tiles)
+        # place=False pinned: this single-step building block's insert
+        # size depends on the per-call batch (unknown at cache time), so
+        # the mode can't go into the lru_cache key — keep the scatter
+        # path instead of resolving at trace time (ADVICE r4)
         local = bloom.insert_words(
             jnp.zeros_like(words), c_hi.reshape(-1), c_lo.reshape(-1),
-            kvalid.reshape(-1), bits_log2,
+            kvalid.reshape(-1), bits_log2, place=False,
         )
         return args, win_valid, allreduce_or(words | local)
 
@@ -730,6 +745,7 @@ def sharded_common_bf_probe_step(mesh, k: int, chunk: int, bits_log2: int):
         nxt = bloom.insert_words(
             jnp.zeros((1 << bits_log2) // 32, jnp.uint32),
             c_hi.reshape(-1), c_lo.reshape(-1), keep.reshape(-1), bits_log2,
+            place=False,  # see sharded_sketch_step: batch-dependent size
         )
         return acc_words | allreduce_or(nxt)
 

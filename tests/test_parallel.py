@@ -173,6 +173,60 @@ def test_mesh_pipeline_blocks_identical(mesh8, tmp_path):
     assert b1 == b2
 
 
+def test_distributed_common_bf_place_interpret(mesh8, monkeypatch):
+    """Mesh BF cascade with the placement kernel forced on (interpret)
+    inside shard_map: bit-identical to the scatter path. Covers the
+    Pallas-kernel-inside-shard_map route that real TPU meshes take now
+    that distributed_common_bf resolves the place mode (ADVICE r4);
+    bf_bytes forces a 2^26-bit filter, the place-supported regime."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bf_build import _genome
+    from ntsynt_tpu.ops import bf_place
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 4, 9_000).astype(np.uint8)
+    b = a.copy()
+    b[::173] = (b[::173] + 1) % 4
+    genomes = [_genome(a, "a.fa"), _genome(b, "b.fa")]
+
+    plain = pmesh.distributed_common_bf(
+        genomes, 20, mesh=mesh8, seg_max=1 << 9, bf_bytes=1 << 23
+    )
+    monkeypatch.setenv("NTSYNT_BF_PLACE", "interpret")
+    assert bf_place.resolve(26, 1 << 9) == "interpret"  # mode really on
+    placed = pmesh.distributed_common_bf(
+        genomes, 20, mesh=mesh8, seg_max=1 << 9, bf_bytes=1 << 23
+    )
+    assert (np.asarray(plain.words) == np.asarray(placed.words)).all()
+
+
+def test_distributed_repeat_bf_place_interpret(mesh8, monkeypatch):
+    """Mesh repeat-BF with the placement kernel forced on (interpret):
+    bit-identical rep words to the scatter path (same seg_max, so the
+    segment-boundary FP pattern coincides)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bf_build import _genome
+
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 4, 12_000).astype(np.uint8)
+    for src, dst in [(1_000, 9_500), (5_200, 200)]:
+        a[dst : dst + 200] = a[src : src + 200]
+    genomes = [_genome(a, "r.fa")]
+
+    plain = pmesh.distributed_repeat_bf(
+        genomes, 20, mesh=mesh8, seg_max=1 << 9, bf_bytes=1 << 23
+    )
+    monkeypatch.setenv("NTSYNT_BF_PLACE", "interpret")
+    placed = pmesh.distributed_repeat_bf(
+        genomes, 20, mesh=mesh8, seg_max=1 << 9, bf_bytes=1 << 23
+    )
+    assert (np.asarray(plain.words) == np.asarray(placed.words)).all()
+
+
 def test_distributed_repeat_bf_matches_single(mesh8):
     """Mesh repeat-BF must flag exactly the single-device builder's
     repeat k-mers: slab-local duplicates via the per-slab walk,
