@@ -18,8 +18,10 @@ ascends — the property observed in every golden block — and block
 output lexicographically sorted (synteny_block.py:102-109).
 """
 
+import contextlib
 from dataclasses import dataclass
 import sys
+import time
 
 import numpy as np
 
@@ -74,6 +76,19 @@ class SyntenyParams:
         raise ValueError(
             "--collinear-merge must be an integer or a string like '<num>w'"
         )
+
+
+@contextlib.contextmanager
+def _substage(label: str):
+    """--dev sub-stage wall print: the synteny stage is host-side NumPy
+    and grows with genome count x minimizer density (11.7-14.7 s at
+    3 x 1 Gbp, VERDICT r4 weak #4) — these splits make the profile
+    actionable without a profiler run."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        log(f"  [synteny] {label}: {time.perf_counter() - t0:.2f}s", dev_only=True)
 
 
 class SyntenyDetector:
@@ -398,11 +413,15 @@ class SyntenyDetector:
         ctx = self.block_ctx
         for new_w in p.w_rounds:
             log(f"Extending synteny blocks with w = {new_w}")
-            segments, terminal = self.generate_additional_minimizers(blocks, new_w, prev_w)
+            with _substage(f"gen_additional_mx w={new_w}"):
+                segments, terminal = self.generate_additional_minimizers(
+                    blocks, new_w, prev_w
+                )
             adj = [(k, segments[k]) for k in self.files]
-            graph = MinimizerGraph.build(
-                adj, self.weights, seed=self.graph, black_list=terminal
-            )
+            with _substage(f"graph_build w={new_w}"):
+                graph = MinimizerGraph.build(
+                    adj, self.weights, seed=self.graph, black_list=terminal
+                )
             # NOTE: the reference nominally re-simplifies here, but its
             # result is immediately overwritten (bin/ntsynt_synteny.py:
             # 484-491 simplifies self.graph, then reassigns self.graph
@@ -410,13 +429,17 @@ class SyntenyDetector:
             # rounds; we mirror the net behavior.
             if new_w == p.w_rounds[-1]:
                 log("Filtering the graph")
-                self.graph, pairs = graph.filter_global(p.n, flag=True)
-                self.refine_graph_erosion(pairs)
+                with _substage(f"filter+erosion w={new_w}"):
+                    self.graph, pairs = graph.filter_global(p.n, flag=True)
+                    self.refine_graph_erosion(pairs)
             else:
-                self.graph = graph.filter_global(p.n)
-            blocks = self.paths_to_blocks(self.graph.linear_paths())
-            blocks = self.indel_pass(blocks)
-            blocks = self.min_mx_pass(blocks, 4)
+                with _substage(f"filter_global w={new_w}"):
+                    self.graph = graph.filter_global(p.n)
+            with _substage(f"linear_paths+blocks w={new_w}"):
+                blocks = self.paths_to_blocks(self.graph.linear_paths())
+            with _substage(f"indel+minmx w={new_w}"):
+                blocks = self.indel_pass(blocks)
+                blocks = self.min_mx_pass(blocks, 4)
             blocks_sorted = ctx.sorted_blocks(blocks)
             if p.write_output:
                 ctx.write_blocks_tsv(
@@ -425,13 +448,14 @@ class SyntenyDetector:
                     p.z,
                 )
             if new_w == p.w_rounds[-1]:
-                merged = blk.merge_collinear_blocks(
-                    blocks_sorted, p.bp, p.k, self.collinear_merge_bp
-                )
-                merged = [b for b in merged if (b.lengths() >= p.z).all()]
-                merged = blk.merge_collinear_blocks(
-                    merged, p.bp, p.k, self.collinear_merge_bp
-                )
+                with _substage("collinear_merge x2"):
+                    merged = blk.merge_collinear_blocks(
+                        blocks_sorted, p.bp, p.k, self.collinear_merge_bp
+                    )
+                    merged = [b for b in merged if (b.lengths() >= p.z).all()]
+                    merged = blk.merge_collinear_blocks(
+                        merged, p.bp, p.k, self.collinear_merge_bp
+                    )
                 if p.dev:
                     self.check_non_overlapping(merged)
                 if p.write_output:
@@ -504,8 +528,10 @@ class SyntenyDetector:
         if len(p.w_rounds) != len(set(p.w_rounds)):
             raise ValueError("duplicate values found in w_rounds!")
 
-        filter_common(self.assemblies)
-        self.make_minimizer_graph()
+        with _substage("filter_common"):
+            filter_common(self.assemblies)
+        with _substage("make_minimizer_graph"):
+            self.make_minimizer_graph()
         # the reference always emits the graph artifact from
         # make_minimizer_graph (expected-result listing, SURVEY.md §2.4)
         dot_thread = None
@@ -513,12 +539,16 @@ class SyntenyDetector:
             dot_thread = self.write_dot_async(f"{p.prefix}.mx.dot")
         if p.simplify_graph:
             log("Running graph simplification")
-            self.graph = self.graph.simplify_bubbles(self.max_edge_weight)
-        self.graph = self.graph.filter_global(p.n)
+            with _substage("simplify_bubbles"):
+                self.graph = self.graph.simplify_bubbles(self.max_edge_weight)
+        with _substage("filter_global"):
+            self.graph = self.graph.filter_global(p.n)
 
-        blocks = self.paths_to_blocks(self.graph.linear_paths())
-        blocks = self.indel_pass(blocks)
-        blocks = self.min_mx_pass(blocks, 4)
+        with _substage("linear_paths+blocks"):
+            blocks = self.paths_to_blocks(self.graph.linear_paths())
+        with _substage("indel+minmx"):
+            blocks = self.indel_pass(blocks)
+            blocks = self.min_mx_pass(blocks, 4)
         if p.interarrivals and p.write_output:
             self.print_interarrivals(blocks)
         blocks_sorted = self.block_ctx.sorted_blocks(blocks)

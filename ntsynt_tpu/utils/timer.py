@@ -81,6 +81,15 @@ class StageTimer:
         self.stages = OrderedDict()  # name -> wall seconds
         self.peak_rss = OrderedDict()  # name -> bytes (host RSS high-water)
         self.peak_hbm = OrderedDict()  # name -> bytes (live device buffers)
+        # name -> enclosing stage for stages that ran NESTED inside
+        # another (e.g. a lazy genome read triggered from inside the BF
+        # cascade): their wall is already counted in the parent and was
+        # (at least partially) hidden under the parent's async device
+        # dispatches — reporting the nesting separates overlapped time
+        # from blocking time, so a slow read in the split is
+        # diagnosable as tenant noise vs lost overlap (VERDICT r4 #8)
+        self.nested_in = OrderedDict()
+        self._active = []  # stack of currently-open stage names
         self.sample_interval = sample_interval
         self.track_hbm = track_hbm
         self.sample_memory = sample_memory
@@ -88,41 +97,50 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
+        if self._active and name not in self.nested_in:
+            self.nested_in[name] = self._active[-1]
+        self._active.append(name)
         if not self.sample_memory:
             try:
                 yield
             finally:
+                self._active.pop()
                 dt = time.perf_counter() - t0
                 self.stages[name] = self.stages.get(name, 0.0) + dt
             return
-        with _MemSampler(self.sample_interval, self.track_hbm) as mem:
-            try:
-                yield
-            finally:
-                dt = time.perf_counter() - t0
-                self.stages[name] = self.stages.get(name, 0.0) + dt
+        try:
+            with _MemSampler(self.sample_interval, self.track_hbm) as mem:
+                try:
+                    yield
+                finally:
+                    dt = time.perf_counter() - t0
+                    self.stages[name] = self.stages.get(name, 0.0) + dt
+        finally:
+            self._active.pop()
         self.peak_rss[name] = max(self.peak_rss.get(name, 0), mem.peak_rss)
         self.peak_hbm[name] = max(self.peak_hbm.get(name, 0), mem.peak_hbm)
 
     def write_tsv(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as fout:
-            fout.write("stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb\n")
+            fout.write("stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb\toverlapped_under\n")
             for name, secs in self.stages.items():
                 rss = self.peak_rss.get(name, 0) / 1e6
                 hbm = self.peak_hbm.get(name, 0) / 1e6
-                fout.write(f"{name}\t{secs:.4f}\t{rss:.1f}\t{hbm:.1f}\n")
+                under = self.nested_in.get(name, "-")
+                fout.write(f"{name}\t{secs:.4f}\t{rss:.1f}\t{hbm:.1f}\t{under}\n")
 
     def as_json(self) -> str:
-        return json.dumps(
-            {
-                k: {
-                    "s": round(v, 4),
-                    "rss_mb": round(self.peak_rss.get(k, 0) / 1e6, 1),
-                    "hbm_mb": round(self.peak_hbm.get(k, 0) / 1e6, 1),
-                }
-                for k, v in self.stages.items()
+        out = {}
+        for k, v in self.stages.items():
+            d = {
+                "s": round(v, 4),
+                "rss_mb": round(self.peak_rss.get(k, 0) / 1e6, 1),
+                "hbm_mb": round(self.peak_hbm.get(k, 0) / 1e6, 1),
             }
-        )
+            if k in self.nested_in:
+                d["under"] = self.nested_in[k]
+            out[k] = d
+        return json.dumps(out)
 
     def total(self) -> float:
         return sum(self.stages.values())

@@ -142,6 +142,50 @@ def test_insert_words_edge_bits():
         assert (got_bits == oracle.bits).all()
 
 
+def test_insert_words_compressed_pair_sort_33_34():
+    """The >32-bit insert's compressed (key32, pay8) sort formulation
+    (round 5) vs a sparse NumPy word oracle, at both supported shifts
+    (bits_log2 33 and 34), including the has_real_max corner: real keys
+    in the top 2^s bit indices share key32 with the invalid sentinel
+    and must route through the legacy lax.cond branch bit-identically."""
+    import jax.numpy as jnp
+
+    from ntsynt_tpu.ops import bloom
+
+    for bits_log2 in (33, 34):
+        nbits = 1 << bits_log2
+        n_words = nbits // 32
+        rng = np.random.default_rng(40 + bits_log2)
+        for force_max in (False, True):
+            canon = rng.integers(0, 2**64, 1 << 14, dtype=np.uint64)
+            canon[100:140] = canon[99]  # duplicate runs
+            valid = rng.random(len(canon)) < 0.95
+            if force_max:
+                # bit indices in [nbits-2^s, nbits): key32 == 0xFFFFFFFF
+                s = bits_log2 - 32
+                canon[:5] = (canon[:5] & ~np.uint64(nbits - 1)) | (
+                    np.uint64(nbits - (1 << s))
+                    + rng.integers(0, 1 << s, 5).astype(np.uint64)
+                )
+                valid[:5] = True
+            hi = jnp.asarray((canon >> np.uint64(32)).astype(np.uint32))
+            lo = jnp.asarray((canon & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            got = np.asarray(
+                bloom.insert_words(
+                    jnp.zeros(n_words, jnp.uint32), hi, lo,
+                    jnp.asarray(valid), bits_log2, place=False,
+                )
+            )
+            want = np.zeros(n_words, np.uint32)
+            idx = canon[valid] & np.uint64(nbits - 1)
+            np.bitwise_or.at(
+                want,
+                (idx >> np.uint64(5)).astype(np.int64),
+                np.uint32(1) << (idx & np.uint64(31)).astype(np.uint32),
+            )
+            assert (got == want).all(), (bits_log2, force_max)
+
+
 def test_insert_words_scratchless_path_bit_equal():
     """The huge-filter in-place insert (no scratch array, used when
     words >= 4 GiB) must match the scatter-into-zeros path bit for bit."""

@@ -56,12 +56,22 @@ def test_stage_timer(tmp_path):
         pass
     with t.stage("a"):
         pass
-    assert set(t.stages) == {"a", "b"}
+    with t.stage("outer"):
+        with t.stage("inner"):  # nested: a lazy read under a BF stage
+            pass
+    assert set(t.stages) == {"a", "b", "outer", "inner"}
+    assert t.nested_in == {"inner": "outer"}
     p = tmp_path / "t.tsv"
     t.write_tsv(str(p))
     lines = open(p).read().strip().split("\n")
-    assert lines[0] == "stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb"
-    assert len(lines) == 3
+    assert lines[0] == "stage\tseconds\tpeak_rss_mb\tpeak_hbm_live_mb\toverlapped_under"
+    assert len(lines) == 5
+    # "inner" closes (and records) before "outer" does
+    assert [l.split("\t")[4] for l in lines[1:]] == ["-", "-", "outer", "-"]
+    import json
+
+    assert json.loads(t.as_json())["inner"]["under"] == "outer"
+    assert "under" not in json.loads(t.as_json())["a"]
     assert t.total() >= 0
     # peak RSS is a real, nonzero measurement on Linux
     assert t.peak_rss["a"] > 0
