@@ -127,16 +127,31 @@ class SyntenyDetector:
         Large batches sort/unique the queries ONCE and reuse the sorted
         view for every assembly's sort-merge join (the per-assembly
         np.unique re-sorts were ~2/3 of the lookup cost at the 6M-node
-        stress scale)."""
+        stress scale). Batch queries that are entirely graph nodes (the
+        path concatenation — the only gigabase-sized caller) reuse the
+        graph's cached sorted node table instead of re-sorting the
+        queries: np.unique on ~6M u64 cost ~0.3 s per refinement round
+        at 3 x 1 Gbp (round-5 profile)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         ctgs, poss = [], []
         if len(hashes) >= (1 << 18):
-            uq, inv = np.unique(hashes, return_inverse=True)
-            for key in self.files:
-                c, p = self.assemblies[key].mx_info.lookup_unique_sorted(uq)
-                ctgs.append(c[inv])
-                poss.append(p[inv])
-            return np.stack(ctgs), np.stack(poss)
+            with _substage("    lookup(batch)"):
+                g = self.graph
+                g._ensure_lookup()
+                sh = g._sorted_hash
+                if len(sh):
+                    loc = np.minimum(np.searchsorted(sh, hashes), len(sh) - 1)
+                    if bool((sh[loc] == hashes).all()):
+                        uq, inv = sh, loc  # queries are all graph nodes
+                    else:
+                        uq, inv = np.unique(hashes, return_inverse=True)
+                else:
+                    uq, inv = np.unique(hashes, return_inverse=True)
+                for key in self.files:
+                    c, p = self.assemblies[key].mx_info.lookup_unique_sorted(uq)
+                    ctgs.append(c[inv])
+                    poss.append(p[inv])
+                return np.stack(ctgs), np.stack(poss)
         for key in self.files:
             c, p = self.assemblies[key].mx_info.lookup(hashes)
             ctgs.append(c)
@@ -189,9 +204,10 @@ class SyntenyDetector:
         blocks_from_paths_batch) instead of per-path lookups."""
         log("Finding synteny blocks")
         rep_a = self.files.index(self.rep)
-        out, removed = blk.blocks_from_paths_batch(
-            paths, self._lookup, rep_a, self.params.k, self.params.m
-        )
+        with _substage("  blocks_from_paths"):
+            out, removed = blk.blocks_from_paths_batch(
+                paths, self._lookup, rep_a, self.params.k, self.params.m
+            )
         if len(removed):
             if self.params.dev:
                 log(
@@ -329,6 +345,7 @@ class SyntenyDetector:
             cond, seg_ctg, seg_off = rf.condensed_genome(
                 asm.genome, mask_ivs[a], new_w, p.k
             )
+            t_cond = _time.perf_counter() - t0
             # generate_new_minimizers (bin/ntsynt_synteny.py:167-189):
             # 'Indexlr' passes the repeat BF to the sketcher (-r,
             # excluded from candidacy); 'Filter' re-sketches without it
@@ -384,7 +401,8 @@ class SyntenyDetector:
             )
             new_info[key] = tmp.mx_info
             log(
-                f"  {key}: re-sketch {t_sketch:.1f}s, "
+                f"  {key}: condense {t_cond:.1f}s ({cond.total_bases} b), "
+                f"re-sketch {t_sketch - t_cond:.1f}s, "
                 f"filter {_time.perf_counter() - t0 - t_sketch:.1f}s, "
                 f"{sk.n_minimizers} new mx",
                 dev_only=True,
@@ -436,7 +454,9 @@ class SyntenyDetector:
                 with _substage(f"filter_global w={new_w}"):
                     self.graph = graph.filter_global(p.n)
             with _substage(f"linear_paths+blocks w={new_w}"):
-                blocks = self.paths_to_blocks(self.graph.linear_paths())
+                with _substage("  linear_paths"):
+                    paths = self.graph.linear_paths()
+                blocks = self.paths_to_blocks(paths)
             with _substage(f"indel+minmx w={new_w}"):
                 blocks = self.indel_pass(blocks)
                 blocks = self.min_mx_pass(blocks, 4)
@@ -545,7 +565,9 @@ class SyntenyDetector:
             self.graph = self.graph.filter_global(p.n)
 
         with _substage("linear_paths+blocks"):
-            blocks = self.paths_to_blocks(self.graph.linear_paths())
+            with _substage("  linear_paths"):
+                paths = self.graph.linear_paths()
+            blocks = self.paths_to_blocks(paths)
         with _substage("indel+minmx"):
             blocks = self.indel_pass(blocks)
             blocks = self.min_mx_pass(blocks, 4)
