@@ -65,7 +65,11 @@ def _stream_buffer(genome, k: int, chunk: int, codes: np.ndarray | None = None):
 
 
 def _segment_hashes(codes_buf, i, k: int, chunk: int):
-    tile = jax.lax.dynamic_slice(codes_buf, (i * chunk,), (chunk + k - 1,))
+    # offset in uint32: whole-genome code buffers exceed 2^31 elements
+    # at 3 Gbp and int32 offset math wraps; uint32 dynamic-slice starts
+    # index correctly on TPU up to 2^32 (scratch/tpu_bigbuf_probe.py)
+    off = jnp.asarray(i).astype(jnp.uint32) * jnp.uint32(chunk)
+    tile = jax.lax.dynamic_slice(codes_buf, (off,), (chunk + k - 1,))
     h = nthash.hash_tile(tile, k)
     return h["canon_hi"], h["canon_lo"], h["valid"]
 

@@ -464,7 +464,12 @@ def _pack2_nbits(buf: np.ndarray):
 
 @functools.lru_cache(maxsize=None)
 def _dus_fn(total: int, glen: int, keep: int):
-    """Write a group's first ``keep`` codes into the assembled buffer."""
+    """Write a group's first ``keep`` codes into the assembled buffer.
+
+    ``off`` must be uint32: multi-Gbp streams put group offsets past
+    2^31 (int32 overflow raised at 2x3 Gbp), and uint32 dynamic-slice
+    starts index correctly on the TPU up to 2^32
+    (scratch/tpu_bigbuf_probe.py)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(big, grp, off):
@@ -542,7 +547,7 @@ class ChunkedSharedStream:
         grp = _unpack_stream_fn(self.glen)(jnp.asarray(packed2), jnp.asarray(isn))
         keep = min(self.group_segs * self.bf_chunk, self.need - a)
         self._big = _dus_fn(self.need, self.glen, keep)(
-            self._big, grp, jnp.int32(a)
+            self._big, grp, jnp.uint32(a)
         )
         n_segs = min(self.group_segs, self.n_segs_bf - g * self.group_segs)
         return grp, max(n_segs, 0)

@@ -322,8 +322,13 @@ def _stream_fn(k: int, w: int, seg: int, segs_cap: int, n_common_log2,
             lb = jax.lax.dynamic_slice(
                 legit_bits, ((seg0 + i) * seg_bytes,), (seg_bytes,)
             )
+            # codes offsets in uint32: multi-Gbp streams exceed 2^31
+            # (uint32 dynamic-slice starts verified on-chip,
+            # scratch/tpu_bigbuf_probe.py); legit byte offsets stay
+            # int32 (1 bit per window -> < 2^29 at 3 Gbp)
+            off = (seg0 + i).astype(jnp.uint32) * jnp.uint32(seg)
             vals, hhi, hlo, cnt = seg_fn(
-                codes_buf, (seg0 + i) * seg, lb, common_words, repeat_words
+                codes_buf, off, lb, common_words, repeat_words
             )
             # second-level compaction: scatter each tile's first
             # min(cnt, CAP) slots at its exclusive-prefix offset
