@@ -106,19 +106,47 @@ class _LazyGenomes:
     under level i's async device dispatch."""
 
     def __init__(self, runner, path_of: dict):
+        import threading
+
         self._runner = runner
         self._paths = dict(path_of)
         self._loaded = {}
+        # per-name locks: the background prefetch thread (see
+        # prefetch_async) and the pipeline may read DIFFERENT genomes
+        # concurrently, while a race on the SAME genome serializes into
+        # one read (the loser returns the winner's object)
+        self._locks = {n: threading.Lock() for n in path_of}
 
     def __getitem__(self, name):
         if name not in self._loaded:
-            runner, cfg = self._runner, self._runner.cfg
-            with runner.timer.stage(f"read_fasta:{name}"):
-                g = fio.read_fasta(self._paths[name], threads=cfg.threads)
-                if cfg.write_artifacts:
-                    fio.write_fai(g, os.path.join(cfg.out_dir, f"{g.name}.fai"))
-            self._loaded[name] = g
+            with self._locks[name]:
+                if name in self._loaded:  # lost the race: already read
+                    return self._loaded[name]
+                runner, cfg = self._runner, self._runner.cfg
+                with runner.timer.stage(f"read_fasta:{name}"):
+                    g = fio.read_fasta(self._paths[name], threads=cfg.threads)
+                    if cfg.write_artifacts:
+                        fio.write_fai(g, os.path.join(cfg.out_dir, f"{g.name}.fai"))
+                self._loaded[name] = g
         return self._loaded[name]
+
+    def prefetch_async(self, order):
+        """Read genomes on a daemon thread in ``order``. The lazy
+        entries already hide genome i+1's read under cascade level i's
+        device dispatch, but the read then runs on the MAIN thread
+        between dispatches — in degraded device windows the blocking
+        reads (15-40 s/Gbp of fresh-page faults) extend the BF stage
+        wall directly. A prefetch thread overlaps the reads with the
+        main thread's pack/upload work and with each other."""
+        import threading
+
+        def run():
+            for n in order:
+                self[n]
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
 
     def __iter__(self):
         return iter(self._paths)
@@ -207,6 +235,10 @@ class NtSyntTPU:
         if len(names) < 2:
             raise ValueError("Must supply at least two genomes to compare")
         genomes = _LazyGenomes(self, path_of)
+        # background read-ahead in cascade (path-sorted) order; the
+        # main thread's own access patterns are unchanged — it just
+        # finds genomes already loaded (or joins an in-flight read)
+        genomes.prefetch_async(sorted(names, key=lambda n: path_of[n]))
 
         # --- shared code-stream uploads --------------------------------
         # One host->device upload per genome, shared by the BF builders

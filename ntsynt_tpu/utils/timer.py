@@ -89,10 +89,20 @@ class StageTimer:
         # from blocking time, so a slow read in the split is
         # diagnosable as tenant noise vs lost overlap (VERDICT r4 #8)
         self.nested_in = OrderedDict()
-        self._active = []  # stack of currently-open stage names
+        # per-THREAD stacks of currently-open stages: background reads
+        # (pipeline genome prefetch) time their own stages concurrently
+        # with the main thread's, and must not inherit its nesting
+        self._tls = threading.local()
         self.sample_interval = sample_interval
         self.track_hbm = track_hbm
         self.sample_memory = sample_memory
+
+    @property
+    def _active(self):
+        st = getattr(self._tls, "stack", None)
+        if st is None:
+            st = self._tls.stack = []
+        return st
 
     @contextlib.contextmanager
     def stage(self, name: str):
