@@ -457,14 +457,30 @@ def _pack_legit_planar(legit: np.ndarray, segs_cap: int, seg: int):
     """Pack the legit-window mask into per-segment-planar bytes: segment
     s's bytes [s*seg/8, (s+1)*seg/8) hold its seg windows with plane j
     of the byte block = windows [j*seg/8, (j+1)*seg/8) of the segment
-    (matches _legit_blk_from_bits' concat-unpack)."""
-    full = np.zeros(segs_cap * seg, dtype=bool)
-    full[: len(legit)] = legit[: segs_cap * seg]
-    planes = full.reshape(segs_cap, 8, seg // 8)
-    out = planes[:, 0, :].astype(np.uint8)
-    for j in range(1, 8):
-        out = out | (planes[:, j, :].astype(np.uint8) << j)
-    return out.reshape(-1)
+    (matches _legit_blk_from_bits' concat-unpack).
+
+    Full segments pack straight from a VIEW of ``legit`` via
+    np.packbits; only the tail segment materializes a (seg,)-sized
+    padded copy. The previous zeros+copy of the full segs_cap*seg bool
+    buffer cost ~13 s of fresh-page faults for the first gigabase
+    genome (NTSYNT_SKETCH_DEBUG profile, round 5)."""
+    total = segs_cap * seg
+    n = min(len(legit), total)
+    body = n // seg  # segments packable without padding
+    parts = []
+    if body:
+        v = legit[: body * seg].reshape(body, 8, seg // 8).transpose(0, 2, 1)
+        parts.append(np.packbits(v, axis=-1, bitorder="little").reshape(-1))
+    if body < segs_cap:
+        tail = np.zeros((segs_cap - body) * seg, dtype=bool)
+        m = n - body * seg
+        if m > 0:
+            tail[:m] = legit[body * seg : body * seg + m]
+        v = tail.reshape(-1, 8, seg // 8).transpose(0, 2, 1)
+        parts.append(np.packbits(v, axis=-1, bitorder="little").reshape(-1))
+    if not parts:
+        return np.zeros(0, np.uint8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 class DeviceSketcher:
@@ -541,9 +557,16 @@ class DeviceSketcher:
         # total instead of one per pow2 genome size), all queued
         # back-to-back on the device; collect_stream then overlaps each
         # chunk's D2H + host post with the NEXT chunk's device sweep
+        import os
+        import time as _time
+
+        dbg = bool(os.environ.get("NTSYNT_SKETCH_DEBUG"))
+        t0 = _time.perf_counter()
         starts = list(range(0, nwin, seg))
         n_segs = len(starts)
         legit_bits = jnp.asarray(_pack_legit_planar(legit, n_segs, seg))
+        t_legit = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         chunks = []
         s0 = 0
         while s0 < n_segs:
@@ -557,6 +580,12 @@ class DeviceSketcher:
             out = fn(dbuf, legit_bits, jnp.int32(s0), jnp.int32(n), cw, rw)
             chunks.append((out, starts[s0 : s0 + n]))
             s0 += n
+        if dbg:
+            print(
+                f"    [sketch dispatch] legit_pack={t_legit:.2f}s "
+                f"issue={_time.perf_counter() - t0:.2f}s chunks={len(chunks)}",
+                flush=True,
+            )
         return (chunks, stream_codes, legit)
 
     def collect_stream(self, pending):
@@ -580,10 +609,18 @@ class DeviceSketcher:
                     a.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     break
+        import os
+        import time as _time
+
+        dbg = bool(os.environ.get("NTSYNT_SKETCH_DEBUG"))
+        t_wait = t_host = 0.0
         selected = []
         hashes = []
         for out, starts in chunks:
+            t0 = _time.perf_counter()
             all_vals, all_hi, all_lo, all_cnt = jax.device_get(out)
+            t_wait += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             for si, ws in enumerate(starts):
                 cnt = all_cnt[si].astype(np.int64)  # per-tile counts
                 n_tile = np.minimum(cnt, CAP)
@@ -602,6 +639,13 @@ class DeviceSketcher:
                     )
                     selected.append(op)
                     hashes.append(oh)
+            t_host += _time.perf_counter() - t0
+        if dbg:
+            print(
+                f"    [sketch collect] device_wait={t_wait:.2f}s "
+                f"host_post={t_host:.2f}s chunks={len(chunks)}",
+                flush=True,
+            )
         # A selection run that starts in an ILLEGIT window (the partial
         # windows preceding a contig's first full window) and extends
         # into legit territory is only flagged at its illegit start, so
