@@ -202,10 +202,13 @@ def main():
                 best_timer = dict(last_timer)  # stages of the best run
         e2e_wall = min(runs)
 
-        # cache guard: a healthy warmup is bounded by the steady-state
-        # wall plus host-side artifact costs; one missed compile alone
-        # adds 100-400 s (CLAUDE.md). Flag warmups > steady + 90 s.
-        cache_ok = warm_wall < e2e_wall * 2 + 90
+        # cache guard: zero entries written during warmup IS a full
+        # cache hit (the ground truth, tracked since round 5); the
+        # wall-based heuristic only backs it up when misses occurred
+        # (one missed compile adds 100-400 s over the tunnel) so a
+        # tenant-degraded warmup window can no longer false-flag a
+        # healthy cache (observed: warmup 343 s with 0 misses).
+        cache_ok = len(missed) == 0 or warm_wall < e2e_wall * 2 + 90
 
         # block sanity: the engineered inversion must be found
         n_blocks = sum(1 for _ in open(out))
